@@ -1,0 +1,277 @@
+"""SG-MCMC steppers and noisy-gradient assembly, as pure jittable functions.
+
+Functional rewrite of the sampler core
+(`/root/reference/sgmcmc_ssm/sgmcmc_sampler.py:259-657`): the buffered
+stochastic gradient (`noisy_gradient` `:427`), SGD/ADAGRAD optimizer steps
+(`:467-527`), and the SGLD / SGLD-CV / SGRLD samplers (`:549-640`) operate on
+parameter *pytrees*; every step compiles into the training scan and vmaps
+over chains.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..models.base import ParticleKernel, StatisticFn
+from ..ops.buffered import run_buffered_pf, window_weights
+from ..ops.subsequence import sample_buffered_window, window_length
+
+Params = Any
+GradFn = Callable[..., tuple[Params, jax.Array]]
+
+
+# --------------------------------------------------------------------------
+# Pytree helpers
+# --------------------------------------------------------------------------
+
+def tree_random_normal(key, tree, scale=1.0):
+    """Gaussian pytree with leaf-wise std sqrt(scale)
+    (`_get_sgmcmc_noise`, `sgmcmc_sampler.py:529-547`)."""
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    keys = jax.random.split(key, len(leaves))
+    std = jnp.sqrt(scale)
+    noise = [std * jax.random.normal(k, x.shape, x.dtype)
+             for k, x in zip(keys, leaves)]
+    return jax.tree_util.tree_unflatten(treedef, noise)
+
+
+def tree_axpy(a, x, y):
+    """a * x + y over pytrees."""
+    return jax.tree_util.tree_map(lambda xi, yi: a * xi + yi, x, y)
+
+
+def tree_add(*trees):
+    return jax.tree_util.tree_map(lambda *xs: sum(xs), *trees)
+
+
+def tree_scale(a, x):
+    return jax.tree_util.tree_map(lambda xi: a * xi, x)
+
+
+# --------------------------------------------------------------------------
+# Noisy gradient from the buffered particle filter
+# --------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class PFScoreConfig:
+    """Static configuration of the buffered PF score estimator."""
+    n_particles: int = 1000
+    subsequence_length: int = -1        # -1: full sequence
+    buffer_length: int = 0
+    minibatch_size: int = 1
+    smoother: str = "poyiadjis_N"       # nemeth|poyiadjis_N|poyiadjis_N2|paris|filter
+    resampler: str = "multinomial"
+    lambduh: float = 0.95
+    n_tilde: int = 2
+    partition_style: str = "uniform"
+
+
+def make_pf_score_fn(kernel: ParticleKernel, stat_fn: StatisticFn,
+                     statistic_dim: int, unpack: Callable[[jax.Array], Params],
+                     config: PFScoreConfig, T: int,
+                     prior_mean_var_fn: Callable[[Params], tuple] | None = None):
+    """Build score_fn(key, params, observations[T, m]) -> (grad_tree, loglik).
+
+    One minibatch element = one buffered subsequence window run through the
+    particle smoother (`_single_noisy_grad_loglikelihood` kind='pf',
+    `sgmcmc_sampler.py:364-384`); the minibatch axis is vmapped.
+    """
+    S = config.subsequence_length
+    full = (S == -1) or (S >= T)
+    W = T if full else window_length(S, config.buffer_length, T)
+
+    def one_window(key, params, observations):
+        dtype = observations.dtype
+        key_win, key_pf = jax.random.split(key)
+        if full:
+            window = observations
+            step_w = jnp.ones((T,), dtype)
+            in_win = jnp.ones((T,), dtype)
+        else:
+            win = sample_buffered_window(key_win, S, config.buffer_length, T,
+                                         config.partition_style, dtype)
+            window = jax.lax.dynamic_slice_in_dim(
+                observations, win.window_start, W, axis=0)
+            step_w, in_win = window_weights(win.t1, win.tL, win.weights, W,
+                                            dtype)
+        if prior_mean_var_fn is None:
+            prior_mean, prior_var = (jnp.zeros((), dtype),
+                                     jnp.asarray(10.0, dtype))
+        else:
+            prior_mean, prior_var = prior_mean_var_fn(params)
+        out = run_buffered_pf(
+            kernel, stat_fn, params, window,
+            key=key_pf, n_particles=config.n_particles,
+            statistic_dim=statistic_dim, smoother=config.smoother,
+            step_weights=step_w, in_window=in_win,
+            prior_mean=prior_mean, prior_var=prior_var,
+            resampler=config.resampler, lambduh=config.lambduh,
+            n_tilde=config.n_tilde)
+        return out.mean_statistic, out.loglikelihood
+
+    def score_fn(key, params, observations):
+        keys = jax.random.split(key, config.minibatch_size)
+        stats, logliks = jax.vmap(
+            lambda k: one_window(k, params, observations))(keys)
+        mean_stat = jnp.mean(stats, axis=0)
+        return unpack(mean_stat), jnp.mean(logliks)
+
+    return score_fn
+
+
+def make_noisy_grad_fn(score_fn, grad_logprior_fn, T: int,
+                       is_scaled: bool = True,
+                       preconditioner=None):
+    """grad = (grad loglike estimate + grad logprior) / T
+    (`noisy_gradient`, `sgmcmc_sampler.py:427-464`)."""
+    def noisy_grad(key, params, observations):
+        grad_ll, loglik = score_fn(key, params, observations)
+        grad = tree_add(grad_ll, grad_logprior_fn(params))
+        scale = (1.0 / T) if is_scaled else 1.0
+        if preconditioner is None:
+            grad = tree_scale(scale, grad)
+        else:
+            grad = tree_scale(scale, preconditioner.precondition(params, grad))
+        return grad, loglik
+
+    return noisy_grad
+
+
+# --------------------------------------------------------------------------
+# Preconditioner protocol (SGRLD), `base_parameters.py:260-322`
+# --------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class Preconditioner:
+    """Riemannian preconditioner D(theta) as three pure functions."""
+    precondition: Callable[[Params, Params], Params]          # D * grad
+    precondition_noise: Callable[[Params, jax.Array], Params]  # sqrt(D) * xi
+    correction_term: Callable[[Params], Params]                # Gamma(theta)
+
+    def __hash__(self):
+        return hash((self.precondition, self.precondition_noise,
+                     self.correction_term))
+
+
+# --------------------------------------------------------------------------
+# Steps (`sgmcmc_sampler.py:467-640`)
+# --------------------------------------------------------------------------
+
+def sgd_step(key, params, observations, noisy_grad_fn, epsilon):
+    grad, loglik = noisy_grad_fn(key, params, observations)
+    return tree_axpy(epsilon, grad, params), loglik
+
+
+def sgld_step(key, params, observations, noisy_grad_fn, epsilon, T,
+              is_scaled: bool = True):
+    """theta += eps * grad + sqrt(2 eps) * N(0, 1/T)  (`:549-567`)."""
+    key_grad, key_noise = jax.random.split(key)
+    grad, loglik = noisy_grad_fn(key_grad, params, observations)
+    scale = (1.0 / T) if is_scaled else 1.0
+    noise = tree_random_normal(key_noise, params, scale)
+    new = jax.tree_util.tree_map(
+        lambda p, g, n: p + epsilon * g + jnp.sqrt(2.0 * epsilon) * n,
+        params, grad, noise)
+    return new, loglik
+
+
+def sgrld_step(key, params, observations, noisy_grad_fn, preconditioner,
+               epsilon, T, is_scaled: bool = True):
+    """Riemannian SGLD with preconditioner and correction (`:613-640`).
+
+    ``noisy_grad_fn`` must already apply ``preconditioner.precondition``.
+    """
+    key_grad, key_noise = jax.random.split(key)
+    grad, loglik = noisy_grad_fn(key_grad, params, observations)
+    scale = (1.0 / T) if is_scaled else 1.0
+    noise = preconditioner.precondition_noise(params, key_noise)
+    noise = tree_scale(jnp.sqrt(scale), noise)
+    correction = tree_scale(scale, preconditioner.correction_term(params))
+    new = jax.tree_util.tree_map(
+        lambda p, g, c, n: p + epsilon * (g + c) + jnp.sqrt(2.0 * epsilon) * n,
+        params, grad, correction, noise)
+    return new, loglik
+
+
+class AdagradState(NamedTuple):
+    G: Params     # accumulated squared gradients
+    t: jax.Array
+
+
+ADAGRAD_NUGGET = 1e-9  # NOISE_NUGGET, `sgmcmc_sampler.py:10`
+
+
+def adagrad_init(params) -> AdagradState:
+    return AdagradState(
+        G=jax.tree_util.tree_map(jnp.zeros_like, params),
+        t=jnp.zeros((), jnp.int32))
+
+
+def adagrad_step(key, params, state: AdagradState, observations,
+                 noisy_grad_fn, epsilon):
+    """ADAGRAD optimizer step (`sgmcmc_sampler.py:504-527`)."""
+    grad, loglik = noisy_grad_fn(key, params, observations)
+    G = jax.tree_util.tree_map(lambda Gi, g: Gi + g * g, state.G, grad)
+    new = jax.tree_util.tree_map(
+        lambda p, g, Gi: p + epsilon * g / jnp.sqrt(Gi + ADAGRAD_NUGGET),
+        params, grad, G)
+    return new, AdagradState(G=G, t=state.t + 1), loglik
+
+
+def sgld_cv_step(key, params, observations, noisy_grad_fn,
+                 centering_params, centering_grad, epsilon, T,
+                 is_scaled: bool = True):
+    """SGLD with control variates (`sgmcmc_sampler.py:569-611`).
+
+    Uses the same subsequence draw for the current and centering gradients
+    by reusing the PRNG key, the functional analogue of the reference's
+    shared ``buffer_dicts``.
+    """
+    key_grad, key_noise = jax.random.split(key)
+    grad_cur, loglik = noisy_grad_fn(key_grad, params, observations)
+    grad_cen, _ = noisy_grad_fn(key_grad, centering_params, observations)
+    delta = jax.tree_util.tree_map(lambda full, c, cc: full + c - cc,
+                                   centering_grad, grad_cur, grad_cen)
+    scale = (1.0 / T) if is_scaled else 1.0
+    noise = tree_random_normal(key_noise, params, scale)
+    new = jax.tree_util.tree_map(
+        lambda p, g, n: p + epsilon * g + jnp.sqrt(2.0 * epsilon) * n,
+        params, delta, noise)
+    return new, loglik
+
+
+# --------------------------------------------------------------------------
+# Fit loop (`fit`, `sgmcmc_sampler.py:659-722`) as one scan
+# --------------------------------------------------------------------------
+
+def fit(key, params, observations, step_fn, num_iters: int,
+        project_fn=None, steps_per_iter: int = 1, output_all: bool = True):
+    """Run ``num_iters`` iterations of ``step_fn`` under one lax.scan.
+
+    step_fn(key, params, observations) -> (params, aux).  Each iteration runs
+    ``steps_per_iter`` steps (the reference's `steps_per_iteration`) and
+    optionally projects.  Returns (final_params, stacked trace of params
+    after each iteration, stacked aux).
+    """
+    def one_iter(params, key):
+        def one_step(p, k):
+            p, aux = step_fn(k, p, observations)
+            if project_fn is not None:
+                p = project_fn(p)
+            return p, aux
+
+        step_keys = jax.random.split(key, steps_per_iter)
+        params, aux = jax.lax.scan(one_step, params, step_keys)
+        out = (params, aux[-1]) if output_all else aux[-1]
+        return params, out
+
+    iter_keys = jax.random.split(key, num_iters)
+    params, outputs = jax.lax.scan(one_iter, params, iter_keys)
+    if output_all:
+        trace, aux = outputs
+        return params, trace, aux
+    return params, None, outputs

@@ -1,0 +1,577 @@
+"""Linear-Gaussian state-space model (LGSSM), TPU-native.
+
+x_t = A x_{t-1} + N(0, Q),   y_t = C x_t + N(0, R)
+
+Functional rewrite of `/root/reference/sgmcmc_ssm/models/lgssm/`.  The exact
+Kalman machinery lives in `sgmcmc_tpu.ops.kalman`; this module provides the
+parameter pytree (reference coordinates, `lgssm/parameters.py:18-57`), the
+particle kernels (prior / locally-optimal, `lgssm/kernels.py:7-204`), the
+Fisher-identity additive score (`lgssm/helper.py:1216-1277`), priors,
+the SGRLD preconditioner (`lgssm/parameters.py:58-67`), conjugate Gibbs
+updates (`lgssm/helper.py:502-555`, `variables/covariance.py:207-240`,
+`variables/matrices.py:558-582`), and data generation
+(`lgssm/parameters.py`).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from ..ops import kalman
+from ..utils.distributions import (matrix_normal_logpdf, sample_wishart,
+                                   wishart_logpdf)
+from ..utils.linalg import (lower_tri_mat_inv, mat_to_tril_vector,
+                            pos_def_mat_inv, spectral_norm_projection,
+                            tril_vector_to_mat, var_stationary_precision)
+from .base import ParticleKernel
+
+_LOG_2PI = float(np.log(2.0 * np.pi))
+
+
+@struct.dataclass
+class LGSSMParams:
+    """LGSSM parameter pytree (reference coordinates)."""
+    A: jax.Array            # (n, n)
+    C: jax.Array            # (m, n)
+    LQinv_vec: jax.Array    # (n(n+1)/2,)
+    LRinv_vec: jax.Array    # (m(m+1)/2,)
+
+    @property
+    def n(self):
+        return self.A.shape[0]
+
+    @property
+    def m(self):
+        return self.C.shape[0]
+
+    @property
+    def LQinv(self):
+        return tril_vector_to_mat(self.LQinv_vec)
+
+    @property
+    def LRinv(self):
+        return tril_vector_to_mat(self.LRinv_vec)
+
+    @property
+    def Qinv(self):
+        L = self.LQinv
+        return L @ L.T
+
+    @property
+    def Rinv(self):
+        L = self.LRinv
+        return L @ L.T
+
+    @property
+    def Q(self):
+        return pos_def_mat_inv(self.Qinv)
+
+    @property
+    def R(self):
+        return pos_def_mat_inv(self.Rinv)
+
+
+def from_matrices(A, C, Q, R, dtype=jnp.float64) -> LGSSMParams:
+    A = jnp.atleast_2d(jnp.asarray(A, dtype))
+    C = jnp.atleast_2d(jnp.asarray(C, dtype))
+    Q = jnp.atleast_2d(jnp.asarray(Q, dtype))
+    R = jnp.atleast_2d(jnp.asarray(R, dtype))
+    LQinv = jnp.linalg.cholesky(jnp.linalg.inv(Q))
+    LRinv = jnp.linalg.cholesky(jnp.linalg.inv(R))
+    return LGSSMParams(A=A, C=C, LQinv_vec=mat_to_tril_vector(LQinv),
+                       LRinv_vec=mat_to_tril_vector(LRinv))
+
+
+def default_forward_message(params: LGSSMParams) -> kalman.GaussianMessage:
+    return kalman.init_forward_message(params.n, params.A.dtype)
+
+
+def default_backward_message(params: LGSSMParams) -> kalman.GaussianMessage:
+    return kalman.init_backward_message(params.n, params.A.dtype)
+
+
+# --------------------------------------------------------------------------
+# Exact (Kalman) interface — the correctness oracle
+# --------------------------------------------------------------------------
+
+def marginal_loglikelihood(params: LGSSMParams, observations,
+                           forward_msg=None, backward_msg=None, weights=None):
+    if forward_msg is None:
+        forward_msg = default_forward_message(params)
+    if backward_msg is None:
+        backward_msg = default_backward_message(params)
+    return kalman.marginal_loglikelihood(
+        observations, params.A, params.C, params.LQinv, params.LRinv,
+        forward_msg, backward_msg, weights)
+
+
+def gradient_marginal_loglikelihood(params: LGSSMParams, observations,
+                                    forward_msg=None, backward_msg=None,
+                                    weights=None, include_init=True
+                                    ) -> LGSSMParams:
+    """Exact gradient as a LGSSMParams pytree (tril-packed Cholesky grads)."""
+    if forward_msg is None:
+        forward_msg = default_forward_message(params)
+    if backward_msg is None:
+        backward_msg = default_backward_message(params)
+    g = kalman.gradient_marginal_loglikelihood(
+        observations, params.A, params.C, params.LQinv, params.LRinv,
+        forward_msg, backward_msg, weights, include_init)
+    return LGSSMParams(A=g['A'], C=g['C'],
+                       LQinv_vec=mat_to_tril_vector(g['LQinv']),
+                       LRinv_vec=mat_to_tril_vector(g['LRinv']))
+
+
+def predictive_loglikelihood(params: LGSSMParams, observations, lag=1,
+                             forward_msg=None):
+    if forward_msg is None:
+        forward_msg = default_forward_message(params)
+    return kalman.predictive_loglikelihood(
+        observations, params.A, params.C, params.LQinv, params.LRinv,
+        forward_msg, lag)
+
+
+def latent_var_sample(params: LGSSMParams, key, observations,
+                      forward_msg=None, num_samples: int = 1):
+    if forward_msg is None:
+        forward_msg = default_forward_message(params)
+    return kalman.ffbs_sample(key, observations, params.A, params.C,
+                              params.LQinv, params.LRinv, forward_msg,
+                              num_samples)
+
+
+def complete_data_loglikelihood(params: LGSSMParams, observations,
+                                latent_vars, x_prev=None, weights=None):
+    """log p(y, x | theta) (`lgssm/helper.py:235-266`), vectorized over t."""
+    T = observations.shape[0]
+    dtype = observations.dtype
+    if weights is None:
+        weights = jnp.ones((T,), dtype)
+    A, C, LQinv, LRinv = params.A, params.C, params.LQinv, params.LRinv
+    n, m = params.n, params.m
+
+    x = latent_vars
+    # Emissions
+    diff = observations - x @ C.T
+    z = diff @ LRinv
+    log_emit = (-0.5 * m * _LOG_2PI
+                + jnp.sum(jnp.log(jnp.abs(jnp.diag(LRinv))))
+                - 0.5 * jnp.sum(z * z, axis=-1))
+    total = jnp.sum(weights * log_emit)
+    # Transitions within the window
+    diff_x = x[1:] - x[:-1] @ A.T
+    zx = diff_x @ LQinv
+    log_trans = (-0.5 * n * _LOG_2PI
+                 + jnp.sum(jnp.log(jnp.abs(jnp.diag(LQinv))))
+                 - 0.5 * jnp.sum(zx * zx, axis=-1))
+    total += jnp.sum(weights[1:] * log_trans)
+    if x_prev is not None:
+        d0 = (x[0] - A @ x_prev) @ LQinv
+        total += weights[0] * (-0.5 * n * _LOG_2PI
+                               + jnp.sum(jnp.log(jnp.abs(jnp.diag(LQinv))))
+                               - 0.5 * jnp.sum(d0 * d0))
+    return total
+
+
+# --------------------------------------------------------------------------
+# Particle kernels (`lgssm/kernels.py`)
+# --------------------------------------------------------------------------
+
+def _sample_x0(params: LGSSMParams, key, n_particles, prior_mean, prior_var):
+    n = params.n
+    z = jax.random.normal(key, (n_particles, n), dtype=params.A.dtype)
+    prior_var = jnp.asarray(prior_var, params.A.dtype)
+    if prior_var.ndim < 2:
+        scale = jnp.sqrt(prior_var) * jnp.ones((n,), params.A.dtype)
+        return prior_mean + z * scale
+    L = jnp.linalg.cholesky(prior_var)
+    return prior_mean + z @ L.T
+
+
+def _propose_prior(params: LGSSMParams, key, x_t, y_next):
+    """x' ~ N(A x, Q) (`LGSSMPriorKernel.rv`, `lgssm/kernels.py:7-40`)."""
+    z = jax.random.normal(key, x_t.shape, dtype=x_t.dtype)
+    LQinv = params.LQinv
+    noise = jax.scipy.linalg.solve_triangular(LQinv.T, z.T, lower=False).T
+    return x_t @ params.A.T + noise
+
+
+def _reweight_prior(params: LGSSMParams, x_t, x_next, y_next):
+    """log N(y'; C x', R)."""
+    diff = y_next[None, :] - x_next @ params.C.T
+    z = diff @ params.LRinv
+    return (-0.5 * params.m * _LOG_2PI
+            + jnp.sum(jnp.log(jnp.abs(jnp.diag(params.LRinv))))
+            - 0.5 * jnp.sum(z * z, axis=-1))
+
+
+def _propose_optimal(params: LGSSMParams, key, x_t, y_next):
+    """x' ~ p(x' | x, y') — locally optimal proposal
+    (`LGSSMOptimalKernel`/`LGSSMHighDimOptimalKernel`,
+    `lgssm/kernels.py:67-204`)."""
+    Qinv, Rinv = params.Qinv, params.Rinv
+    CtRinv = params.C.T @ Rinv
+    J = Qinv + CtRinv @ params.C
+    Sigma = pos_def_mat_inv(J)
+    L = jnp.linalg.cholesky(Sigma)
+    mean = (x_t @ params.A.T) @ Qinv.T + y_next[None, :] @ CtRinv.T
+    mean = mean @ Sigma.T
+    z = jax.random.normal(key, x_t.shape, dtype=x_t.dtype)
+    return mean + z @ L.T
+
+
+def _reweight_optimal(params: LGSSMParams, x_t, x_next, y_next):
+    """log p(y' | x) = log N(y'; C A x, C Q C^T + R)."""
+    Q, R = params.Q, params.R
+    y_cov = params.C @ Q @ params.C.T + R
+    y_prec = pos_def_mat_inv(y_cov)
+    diff = y_next[None, :] - (x_t @ params.A.T) @ params.C.T
+    quad = jnp.sum((diff @ y_prec) * diff, axis=-1)
+    return (-0.5 * params.m * _LOG_2PI
+            - 0.5 * jnp.linalg.slogdet(y_cov)[1]
+            - 0.5 * quad)
+
+
+def _prior_log_density(params: LGSSMParams, x_t, x_next):
+    diff = x_next - x_t @ params.A.T
+    z = diff @ params.LQinv
+    return (-0.5 * params.n * _LOG_2PI
+            + jnp.sum(jnp.log(jnp.abs(jnp.diag(params.LQinv))))
+            - 0.5 * jnp.sum(z * z, axis=-1))
+
+
+def _prior_log_density_max(params: LGSSMParams):
+    return (-0.5 * params.n * _LOG_2PI
+            + jnp.sum(jnp.log(jnp.abs(jnp.diag(params.LQinv)))))
+
+
+PRIOR_KERNEL = ParticleKernel(
+    sample_x0=_sample_x0, propose=_propose_prior, reweight=_reweight_prior,
+    prior_log_density=_prior_log_density,
+    prior_log_density_max=_prior_log_density_max, state_dim=1)
+
+OPTIMAL_KERNEL = ParticleKernel(
+    sample_x0=_sample_x0, propose=_propose_optimal,
+    reweight=_reweight_optimal,
+    prior_log_density=_prior_log_density,
+    prior_log_density_max=_prior_log_density_max, state_dim=1)
+
+
+def get_kernel(name: str | None = None) -> ParticleKernel:
+    """`_get_kernel` (`lgssm/helper.py:1200-1214`): default optimal."""
+    if name in (None, "optimal", "highdim"):
+        return OPTIMAL_KERNEL
+    if name == "prior":
+        return PRIOR_KERNEL
+    raise ValueError(f"Unrecognized LGSSM kernel '{name}'")
+
+
+# --------------------------------------------------------------------------
+# Additive statistics (`lgssm/helper.py:1216-1363`)
+# --------------------------------------------------------------------------
+
+def statistic_dim(n: int, m: int) -> int:
+    """[grad_LRinv_vec, grad_LQinv_vec, grad_C, grad_A] packed dims."""
+    return (m * (m + 1)) // 2 + (n * (n + 1)) // 2 + m * n + n * n
+
+
+def grad_statistic(params: LGSSMParams, x_t, x_next, y_next, t):
+    """Per-particle gradient of log Pr(y', x' | x, theta), [N, p]."""
+    A, C, LQinv, LRinv = params.A, params.C, params.LQinv, params.LRinv
+    Qinv, Rinv = params.Qinv, params.Rinv
+    n, m = params.n, params.m
+    LQinv_Tinv = lower_tri_mat_inv(LQinv).T
+    LRinv_Tinv = lower_tri_mat_inv(LRinv).T
+
+    diff = x_next - x_t @ A.T                              # [N, n]
+    grad_A = jnp.einsum('in,Nn,Nj->Nij', Qinv, diff, x_t)
+    outer_q = jnp.einsum('Ni,Nj->Nij', diff, diff)
+    grad_LQinv = LQinv_Tinv[None] - outer_q @ LQinv
+
+    diff_y = y_next[None, :] - x_next @ C.T                # [N, m]
+    grad_C = jnp.einsum('im,Nm,Nj->Nij', Rinv, diff_y, x_next)
+    outer_r = jnp.einsum('Ni,Nj->Nij', diff_y, diff_y)
+    grad_LRinv = LRinv_Tinv[None] - outer_r @ LRinv
+
+    rows_q, cols_q = np.tril_indices(n)
+    rows_r, cols_r = np.tril_indices(m)
+    N = x_t.shape[0]
+    return jnp.concatenate([
+        grad_LRinv[:, rows_r, cols_r].reshape(N, -1),
+        grad_LQinv[:, rows_q, cols_q].reshape(N, -1),
+        grad_C.reshape(N, -1),
+        grad_A.reshape(N, -1),
+    ], axis=-1)
+
+
+def suff_statistic(params: LGSSMParams, x_t, x_next, y_next, t):
+    """Gaussian sufficient stats (`lgssm/helper.py:1338-1363`)."""
+    n = params.n
+    N = x_t.shape[0]
+    if n == 1:
+        x0, x1 = x_t[:, 0], x_next[:, 0]
+        return jnp.stack([x1, x1 * x1, x0 * x1], axis=-1)
+    return jnp.concatenate([
+        x_next,
+        jnp.einsum('Ni,Nj->Nij', x_next, x_next).reshape(N, -1),
+        jnp.einsum('Ni,Nj->Nij', x_t, x_next).reshape(N, -1),
+    ], axis=-1)
+
+
+def unpack_grad(stat: jax.Array, n: int, m: int) -> LGSSMParams:
+    dr = (m * (m + 1)) // 2
+    dq = (n * (n + 1)) // 2
+    i = 0
+    LRinv_vec = stat[i:i + dr]; i += dr
+    LQinv_vec = stat[i:i + dq]; i += dq
+    C = stat[i:i + m * n].reshape(m, n); i += m * n
+    A = stat[i:i + n * n].reshape(n, n)
+    return LGSSMParams(A=A, C=C, LQinv_vec=LQinv_vec, LRinv_vec=LRinv_vec)
+
+
+# --------------------------------------------------------------------------
+# Prior (`lgssm/parameters.py:44-56`)
+# --------------------------------------------------------------------------
+
+@struct.dataclass
+class LGSSMPrior:
+    mean_A: jax.Array        # (n, n)
+    var_col_A: jax.Array     # (n,)
+    mean_C: jax.Array        # (m, n)
+    var_col_C: jax.Array     # (n,)
+    scale_Qinv: jax.Array    # (n, n)
+    df_Qinv: jax.Array       # ()
+    scale_Rinv: jax.Array    # (m, m)
+    df_Rinv: jax.Array       # ()
+
+
+def default_prior(n: int = 1, m: int = 1, var: float = 100.0,
+                  dtype=jnp.float64) -> LGSSMPrior:
+    df_q = n + 1.0 + 1.0 / var
+    df_r = m + 1.0 + 1.0 / var
+    return LGSSMPrior(
+        mean_A=jnp.zeros((n, n), dtype),
+        var_col_A=jnp.full((n,), var, dtype),
+        mean_C=jnp.zeros((m, n), dtype),
+        var_col_C=jnp.full((n,), var, dtype),
+        scale_Qinv=jnp.eye(n, dtype=dtype) / df_q,
+        df_Qinv=jnp.asarray(df_q, dtype),
+        scale_Rinv=jnp.eye(m, dtype=dtype) / df_r,
+        df_Rinv=jnp.asarray(df_r, dtype),
+    )
+
+
+def _cov_grad_logprior(L, df, scale):
+    """(df - n - 1) inv(L)^T - solve(scale, L) (`covariance.py:252-260`)."""
+    n = L.shape[0]
+    return ((df - n - 1) * lower_tri_mat_inv(L).T
+            - jnp.linalg.solve(scale, L))
+
+
+def logprior(prior: LGSSMPrior, params: LGSSMParams) -> jax.Array:
+    LQinv, LRinv = params.LQinv, params.LRinv
+    lp = wishart_logpdf(LQinv @ LQinv.T, prior.df_Qinv, prior.scale_Qinv)
+    lp += wishart_logpdf(LRinv @ LRinv.T, prior.df_Rinv, prior.scale_Rinv)
+    lp += matrix_normal_logpdf(params.A, prior.mean_A, Lrowprec=LQinv,
+                               Lcolprec=jnp.diag(prior.var_col_A ** -0.5))
+    lp += matrix_normal_logpdf(params.C, prior.mean_C, Lrowprec=LRinv,
+                               Lcolprec=jnp.diag(prior.var_col_C ** -0.5))
+    return lp
+
+
+def grad_logprior(prior: LGSSMPrior, params: LGSSMParams) -> LGSSMParams:
+    """Prior score with reference semantics: the matrix-normal priors on
+    A/C treat their row covariances (Q/R) as constants
+    (`covariance.py:252-260`, `matrices.py:602-612`)."""
+    gq = _cov_grad_logprior(params.LQinv, prior.df_Qinv, prior.scale_Qinv)
+    gr = _cov_grad_logprior(params.LRinv, prior.df_Rinv, prior.scale_Rinv)
+    gA = -(params.Qinv @ (params.A - prior.mean_A)) / prior.var_col_A[None, :]
+    gC = -(params.Rinv @ (params.C - prior.mean_C)) / prior.var_col_C[None, :]
+    return LGSSMParams(A=gA, C=gC, LQinv_vec=mat_to_tril_vector(gq),
+                       LRinv_vec=mat_to_tril_vector(gr))
+
+
+def sample_prior(prior: LGSSMPrior, key) -> LGSSMParams:
+    kq, kr, ka, kc = jax.random.split(key, 4)
+    dtype = prior.mean_A.dtype
+    n, m = prior.mean_A.shape[0], prior.mean_C.shape[0]
+    Qinv = sample_wishart(kq, prior.df_Qinv, prior.scale_Qinv)
+    Rinv = sample_wishart(kr, prior.df_Rinv, prior.scale_Rinv)
+    LQinv = jnp.linalg.cholesky(Qinv)
+    LRinv = jnp.linalg.cholesky(Rinv)
+    # A | Q ~ MN(mean_A, Q, diag(var_col_A)); row factor via LQinv^-T z
+    ZA = jax.random.normal(ka, (n, n), dtype)
+    A = prior.mean_A + jax.scipy.linalg.solve_triangular(
+        LQinv.T, ZA, lower=False) * jnp.sqrt(prior.var_col_A)[None, :]
+    ZC = jax.random.normal(kc, (m, n), dtype)
+    C = prior.mean_C + jax.scipy.linalg.solve_triangular(
+        LRinv.T, ZC, lower=False) * jnp.sqrt(prior.var_col_C)[None, :]
+    return LGSSMParams(A=A, C=C, LQinv_vec=mat_to_tril_vector(LQinv),
+                       LRinv_vec=mat_to_tril_vector(LRinv))
+
+
+# --------------------------------------------------------------------------
+# Preconditioner (`lgssm/parameters.py:58-67`, `matrices.py:632-657`,
+# `covariance.py:286-317`)
+# --------------------------------------------------------------------------
+
+def precondition(params: LGSSMParams, grad: LGSSMParams) -> LGSSMParams:
+    Q, R = params.Q, params.R
+    Qinv, Rinv = params.Qinv, params.Rinv
+    gLQ = tril_vector_to_mat(grad.LQinv_vec)
+    gLR = tril_vector_to_mat(grad.LRinv_vec)
+    return LGSSMParams(
+        A=Q @ grad.A,
+        C=R @ grad.C,
+        LQinv_vec=mat_to_tril_vector(0.5 * Qinv @ gLQ),
+        LRinv_vec=mat_to_tril_vector(0.5 * Rinv @ gLR),
+    )
+
+
+def precondition_noise(params: LGSSMParams, key) -> LGSSMParams:
+    kA, kC, kQ, kR = jax.random.split(key, 4)
+    dtype = params.A.dtype
+    n, m = params.n, params.m
+    LQinv, LRinv = params.LQinv, params.LRinv
+    zA = jax.random.normal(kA, (n, n), dtype)
+    noise_A = jax.scipy.linalg.solve_triangular(LQinv.T, zA, lower=False)
+    zC = jax.random.normal(kC, (m, n), dtype)
+    noise_C = jax.scipy.linalg.solve_triangular(LRinv.T, zC, lower=False)
+    zQ = jax.random.normal(kQ, (n, n), dtype)
+    noise_LQ = jnp.sqrt(0.5) * LQinv @ zQ
+    zR = jax.random.normal(kR, (m, m), dtype)
+    noise_LR = jnp.sqrt(0.5) * LRinv @ zR
+    return LGSSMParams(A=noise_A, C=noise_C,
+                       LQinv_vec=mat_to_tril_vector(noise_LQ),
+                       LRinv_vec=mat_to_tril_vector(noise_LR))
+
+
+def correction_term(params: LGSSMParams) -> LGSSMParams:
+    n, m = params.n, params.m
+    return LGSSMParams(
+        A=jnp.zeros_like(params.A),
+        C=jnp.zeros_like(params.C),
+        LQinv_vec=0.5 * (n + 1) * params.LQinv_vec,
+        LRinv_vec=0.5 * (m + 1) * params.LRinv_vec,
+    )
+
+
+# --------------------------------------------------------------------------
+# Projection
+# --------------------------------------------------------------------------
+
+def project_parameters(params: LGSSMParams, a_threshold: float = 0.9999,
+                       fix_C_eye: bool = True) -> LGSSMParams:
+    """VAR-stability projection on A, positive Cholesky diagonals, and the
+    default C = I identifiability constraint (`lgssm/parameters.py:39-42`)."""
+    A = spectral_norm_projection(params.A, a_threshold)
+    LQ = tril_vector_to_mat(params.LQinv_vec)
+    LR = tril_vector_to_mat(params.LRinv_vec)
+
+    def fix_chol(L):
+        idx = jnp.arange(L.shape[0])
+        return L.at[idx, idx].set(jnp.abs(jnp.diag(L)))
+
+    C = jnp.eye(params.m, params.n, dtype=params.C.dtype) if fix_C_eye \
+        else params.C
+    return LGSSMParams(A=A, C=C,
+                       LQinv_vec=mat_to_tril_vector(fix_chol(LQ)),
+                       LRinv_vec=mat_to_tril_vector(fix_chol(LR)))
+
+
+# --------------------------------------------------------------------------
+# Gibbs (conjugate) updates (`lgssm/sampler.py:79-96`)
+# --------------------------------------------------------------------------
+
+def gibbs_sufficient_statistics(observations, latent_vars):
+    """Fox-thesis sufficient statistics (`lgssm/helper.py:502-555`)."""
+    x, y = latent_vars, observations
+    return dict(
+        Sx_prevprev=x[:-1].T @ x[:-1],
+        Sx_curprev=x[1:].T @ x[:-1],
+        Sx_curcur=x[1:].T @ x[1:],
+        x_count=x.shape[0] - 1,
+        Sy_prevprev=x.T @ x,
+        Sy_curprev=y.T @ x,
+        Sy_curcur=y.T @ y,
+        y_count=y.shape[0],
+    )
+
+
+def _conjugate_mniw_sample(key, S_prevprev, S_curprev, S_curcur, count,
+                           mean_M, var_col, scale_Vinv, df_Vinv):
+    """Sample (Vinv, M) from the matrix-normal-Wishart posterior
+    (`covariance.py:207-240` + `matrices.py:558-582`)."""
+    dtype = mean_M.dtype
+    prec = jnp.diag(1.0 / var_col)
+    Spp = prec + S_prevprev
+    Scp = mean_M / var_col[None, :] + S_curprev
+    Scc = (mean_M / var_col[None, :]) @ mean_M.T + S_curcur
+    S_schur = Scc - Scp @ jnp.linalg.solve(Spp, Scp.T)
+    df_post = df_Vinv + count
+    scale_post = jnp.linalg.inv(jnp.linalg.inv(scale_Vinv) + S_schur)
+    k_v, k_m = jax.random.split(key)
+    Vinv = sample_wishart(k_v, df_post, scale_post)
+    LVinv = jnp.linalg.cholesky(Vinv)
+    # M | V ~ MN(solve(Spp, Scp.T).T, V, inv(Spp))
+    M_mean = jnp.linalg.solve(Spp, Scp.T).T
+    L_col = jnp.linalg.cholesky(jnp.linalg.inv(Spp))
+    Z = jax.random.normal(k_m, mean_M.shape, dtype)
+    M = M_mean + jax.scipy.linalg.solve_triangular(
+        LVinv.T, Z, lower=False) @ L_col.T
+    return Vinv, M
+
+
+def gibbs_parameters_sample(key, prior: LGSSMPrior, observations,
+                            latent_vars) -> LGSSMParams:
+    """theta | x, y — conjugate block updates for (Q, A) and (R, C)."""
+    ss = gibbs_sufficient_statistics(observations, latent_vars)
+    k1, k2 = jax.random.split(key)
+    Qinv, A = _conjugate_mniw_sample(
+        k1, ss['Sx_prevprev'], ss['Sx_curprev'], ss['Sx_curcur'],
+        ss['x_count'], prior.mean_A, prior.var_col_A,
+        prior.scale_Qinv, prior.df_Qinv)
+    Rinv, C = _conjugate_mniw_sample(
+        k2, ss['Sy_prevprev'], ss['Sy_curprev'], ss['Sy_curcur'],
+        ss['y_count'], prior.mean_C, prior.var_col_C,
+        prior.scale_Rinv, prior.df_Rinv)
+    return LGSSMParams(A=A, C=C,
+                       LQinv_vec=mat_to_tril_vector(jnp.linalg.cholesky(Qinv)),
+                       LRinv_vec=mat_to_tril_vector(jnp.linalg.cholesky(Rinv)))
+
+
+def gibbs_step(key, prior: LGSSMPrior, params: LGSSMParams, observations,
+               forward_msg=None) -> LGSSMParams:
+    """One blocked-Gibbs sweep: x | theta via FFBS, then theta | x."""
+    k_x, k_p = jax.random.split(key)
+    x = latent_var_sample(params, k_x, observations, forward_msg)
+    return gibbs_parameters_sample(k_p, prior, observations, x)
+
+
+# --------------------------------------------------------------------------
+# Data generation
+# --------------------------------------------------------------------------
+
+def generate_data(key, params: LGSSMParams, T: int):
+    """Simulate (observations [T, m], latent [T, n])."""
+    dtype = params.A.dtype
+    n, m = params.n, params.m
+    k0, kx, ky = jax.random.split(key, 3)
+    init_prec = var_stationary_precision(params.Qinv, params.A, 10)
+    L0 = jnp.linalg.cholesky(jnp.linalg.inv(init_prec))
+    x0 = L0 @ jax.random.normal(k0, (n,), dtype)
+    LQ = jnp.linalg.cholesky(params.Q)
+    LR = jnp.linalg.cholesky(params.R)
+    zx = jax.random.normal(kx, (T, n), dtype)
+    zy = jax.random.normal(ky, (T, m), dtype)
+
+    def body(x_prev, z):
+        zx_t, zy_t = z
+        x = params.A @ x_prev + LQ @ zx_t
+        y = params.C @ x + LR @ zy_t
+        return x, (x, y)
+
+    _, (xs, ys) = jax.lax.scan(body, x0, (zx, zy))
+    return ys, xs

@@ -1,0 +1,235 @@
+"""Particle filter / smoother step functions as `lax.scan` bodies.
+
+TPU-first redesigns of the five smoother steps in
+`/root/reference/sgmcmc_ssm/particle_filters/pf.py`:
+
+* ``filter``        — `pf_filter` (`pf.py:40-82`): filtering accumulator.
+* ``nemeth``        — `nemeth_smoother` (`pf.py:138-181`): O(N) shrinkage.
+* ``poyiadjis_n``   — Nemeth with lambda=1 (`buffered_smoother.py:175-180`).
+* ``poyiadjis_n2``  — `poyiadjis_smoother` (`pf.py:84-136`): the O(N^2)
+  backward-weight contraction, expressed as an MXU matmul
+  ``new_stats = BW @ stats + einsum(BW, H_pairs)``.
+* ``paris``         — `paris_smoother` (`pf.py:183-258`): backward sampling
+  from the exact N x N backward weights via per-row categorical draws
+  (statistically identical to the reference's accept-reject construction,
+  whose only purpose is CPU-side O(N*K) cost; on TPU the dense row weights
+  are a single fused matmul/softmax).
+
+Each step maps ``(particles, log_weights, statistics) -> same`` plus a running
+log-likelihood estimate, with per-step additive-statistic weighting
+``w_t * in_window`` replacing the reference's function-swapping
+(`buffered_smoother.py:96-112`).
+
+All functions are pure; PRNG keys are threaded explicitly.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..models.base import ParticleKernel, StatisticFn
+from .resampling import get_resampler, normalize_log_weights
+
+
+class PFCarry(NamedTuple):
+    particles: jax.Array       # [N, D]
+    log_weights: jax.Array     # [N]
+    statistics: jax.Array      # [N, H] (smoothers) or [H] (filter)
+    loglik: jax.Array          # scalar running loglikelihood estimate
+
+
+class PFStepInput(NamedTuple):
+    key: jax.Array             # per-step PRNG key
+    y: jax.Array               # [m] observation y_t
+    weight: jax.Array          # scalar: subsequence weight w_t (0 off-window)
+    in_window: jax.Array       # scalar {0., 1.}: t in [t1, tL)
+    t: jax.Array               # int32 absolute step index within the window
+
+
+def _propagate(kernel: ParticleKernel, resampler, params, key, particles,
+               log_weights, y):
+    """Bootstrap PF step: resample -> propose -> reweight (`pf.py:7-38`)."""
+    key_res, key_prop = jax.random.split(key)
+    ancestors = resampler(key_res, log_weights)
+    parents = jnp.take(particles, ancestors, axis=0)
+    new_particles = kernel.propose(params, key_prop, parents, y)
+    new_log_weights = kernel.reweight(params, parents, new_particles, y)
+    return parents, new_particles, new_log_weights, ancestors
+
+
+def _loglik_increment(new_log_weights):
+    """log(mean(exp(log_w))) — per-step marginal-likelihood increment
+    (`buffered_smoother.py:124-126`), computed stably via logsumexp."""
+    n = new_log_weights.shape[-1]
+    return jax.scipy.special.logsumexp(new_log_weights, axis=-1) - jnp.log(
+        jnp.asarray(float(n), new_log_weights.dtype))
+
+
+def make_filter_step(kernel: ParticleKernel, stat_fn: StatisticFn,
+                     resampler_name: str = "multinomial",
+                     logsumexp_mode: bool = False):
+    """Filtering accumulator step: statistics [H] += E[h_t | y_{<=t}].
+
+    With ``logsumexp_mode`` the accumulation is
+    ``stats += log E_w[exp(h_t)]`` per statistic dimension (used by the
+    predictive-loglikelihood estimator; the reference's version at
+    `pf.py:73-76` collapses the statistic axis in its inner sum — we keep
+    the mathematically intended per-dimension reduction).
+    """
+    resampler = get_resampler(resampler_name)
+
+    def step(params, carry: PFCarry, inp: PFStepInput) -> PFCarry:
+        parents, particles, log_w, _ = _propagate(
+            kernel, resampler, params, inp.key, carry.particles,
+            carry.log_weights, inp.y)
+        h = stat_fn(params, parents, particles, inp.y, inp.t)  # [N, H]
+        scale = inp.weight * inp.in_window
+        probs = normalize_log_weights(log_w)                   # [N]
+        if logsumexp_mode:
+            h = h * scale
+            m = jnp.max(h, axis=0)                             # [H]
+            inc = m + jnp.log(jnp.sum(jnp.exp(h - m) * probs[:, None], axis=0))
+            stats = carry.statistics + inc * inp.in_window
+        else:
+            stats = carry.statistics + scale * jnp.sum(h * probs[:, None], axis=0)
+        loglik = carry.loglik + inp.weight * inp.in_window * _loglik_increment(log_w)
+        return PFCarry(particles, log_w, stats, loglik)
+
+    return step
+
+
+def make_nemeth_step(kernel: ParticleKernel, stat_fn: StatisticFn,
+                     lambduh: float = 0.95,
+                     resampler_name: str = "multinomial"):
+    """Nemeth et al. (2015) O(N) shrinkage smoother step (`pf.py:138-181`).
+
+    ``lambduh = 1.0`` recovers Poyiadjis O(N) (`buffered_smoother.py:175`).
+    """
+    resampler = get_resampler(resampler_name)
+
+    def step(params, carry: PFCarry, inp: PFStepInput) -> PFCarry:
+        probs = normalize_log_weights(carry.log_weights)        # [N]
+        S_bar = jnp.sum(carry.statistics * probs[:, None], axis=0)  # [H]
+        parents, particles, log_w, ancestors = _propagate(
+            kernel, resampler, params, inp.key, carry.particles,
+            carry.log_weights, inp.y)
+        h = stat_fn(params, parents, particles, inp.y, inp.t)   # [N, H]
+        scale = inp.weight * inp.in_window
+        stats = (lambduh * jnp.take(carry.statistics, ancestors, axis=0)
+                 + (1.0 - lambduh) * S_bar[None, :]
+                 + scale * h)
+        loglik = carry.loglik + inp.weight * inp.in_window * _loglik_increment(log_w)
+        return PFCarry(particles, log_w, stats, loglik)
+
+    return step
+
+
+def _backward_log_weights(kernel: ParticleKernel, params, particles,
+                          log_weights, new_particles):
+    """log BW[i, j] ∝ log_w[j] + log q(x'_i | x_j)  (un-normalized).
+
+    The reference materializes this row-by-row in Python (`pf.py:115-121`);
+    here it is one vmapped batch of transition densities.
+    """
+    def row(x_next_i):
+        x_next_b = jnp.broadcast_to(x_next_i[None, :], particles.shape)
+        return log_weights + kernel.prior_log_density(params, particles, x_next_b)
+
+    return jax.vmap(row)(new_particles)      # [N, N]
+
+
+def make_poyiadjis_n2_step(kernel: ParticleKernel, stat_fn: StatisticFn,
+                           resampler_name: str = "multinomial"):
+    """Poyiadjis et al. (2011) O(N^2) smoother step (`pf.py:84-136`).
+
+    new_stats[i] = sum_j BW[i,j] * (stats[j] + h(x_j, x'_i)); the stats term
+    is a dense [N,N]@[N,H] matmul on the MXU, the pairwise-h term a
+    contraction over a vmapped [N,N,H] statistic tensor.
+    """
+    resampler = get_resampler(resampler_name)
+
+    def step(params, carry: PFCarry, inp: PFStepInput) -> PFCarry:
+        parents, particles, log_w, _ = _propagate(
+            kernel, resampler, params, inp.key, carry.particles,
+            carry.log_weights, inp.y)
+        log_bw = _backward_log_weights(kernel, params, carry.particles,
+                                       carry.log_weights, particles)
+        bw = jax.nn.softmax(log_bw, axis=-1)                     # [N, N]
+        scale = inp.weight * inp.in_window
+
+        # sum_j bw[i,j] * stats[j]  -> MXU matmul
+        smoothed = bw @ carry.statistics                          # [N, H]
+
+        # sum_j bw[i,j] * h(x_j, x'_i)
+        def h_row(x_next_i, bw_row):
+            x_next_b = jnp.broadcast_to(x_next_i[None, :], carry.particles.shape)
+            h = stat_fn(params, carry.particles, x_next_b,
+                        inp.y, inp.t)                             # [N, H]
+            return bw_row @ h                                     # [H]
+
+        h_term = jax.vmap(h_row)(particles, bw)                   # [N, H]
+        stats = smoothed + scale * h_term
+        loglik = carry.loglik + inp.weight * inp.in_window * _loglik_increment(log_w)
+        return PFCarry(particles, log_w, stats, loglik)
+
+    return step
+
+
+def make_paris_step(kernel: ParticleKernel, stat_fn: StatisticFn,
+                    n_tilde: int = 2,
+                    resampler_name: str = "multinomial"):
+    """PaRIS (Olsson & Westerborn) step with exact backward sampling.
+
+    Draws ``n_tilde`` backward indices per particle directly from the
+    normalized backward weights (`pf.py:226-237` "naive" mode, which the
+    accept-reject Algorithm 3 merely approximates in O(N*K) CPU time).
+    """
+    resampler = get_resampler(resampler_name)
+
+    def step(params, carry: PFCarry, inp: PFStepInput) -> PFCarry:
+        key_prop, key_bs = jax.random.split(inp.key)
+        parents, particles, log_w, _ = _propagate(
+            kernel, resampler, params, key_prop, carry.particles,
+            carry.log_weights, inp.y)
+        log_bw = _backward_log_weights(kernel, params, carry.particles,
+                                       carry.log_weights, particles)  # [N, N]
+        n = particles.shape[0]
+        bs_keys = jax.random.split(key_bs, n)
+        # J[i, k] ~ Categorical(BW[i, :]), k = 1..n_tilde
+        J = jax.vmap(lambda k, lw: jax.random.categorical(
+            k, lw, shape=(n_tilde,)))(bs_keys, log_bw)            # [N, K]
+        scale = inp.weight * inp.in_window
+
+        rewired_stats = jnp.take(carry.statistics, J, axis=0)     # [N, K, H]
+
+        def h_for(x_next_i, J_i):
+            xt = jnp.take(carry.particles, J_i, axis=0)           # [K, D]
+            x_next_b = jnp.broadcast_to(x_next_i[None, :], xt.shape)
+            return stat_fn(params, xt, x_next_b, inp.y, inp.t)    # [K, H]
+
+        h = jax.vmap(h_for)(particles, J)                         # [N, K, H]
+        stats = jnp.mean(rewired_stats + scale * h, axis=1)       # [N, H]
+        loglik = carry.loglik + inp.weight * inp.in_window * _loglik_increment(log_w)
+        return PFCarry(particles, log_w, stats, loglik)
+
+    return step
+
+
+def make_smoother_step(name: str, kernel: ParticleKernel, stat_fn: StatisticFn,
+                       resampler_name: str = "multinomial",
+                       lambduh: float = 0.95, n_tilde: int = 2,
+                       logsumexp_mode: bool = False):
+    """Dispatch by smoother name (`buffered_smoother.py:156-199`)."""
+    if name == "filter":
+        return make_filter_step(kernel, stat_fn, resampler_name, logsumexp_mode)
+    if name == "nemeth":
+        return make_nemeth_step(kernel, stat_fn, lambduh, resampler_name)
+    if name == "poyiadjis_N":
+        return make_nemeth_step(kernel, stat_fn, 1.0, resampler_name)
+    if name == "poyiadjis_N2":
+        return make_poyiadjis_n2_step(kernel, stat_fn, resampler_name)
+    if name == "paris":
+        return make_paris_step(kernel, stat_fn, n_tilde, resampler_name)
+    raise ValueError(f"Unrecognized pf = '{name}'")
