@@ -1,0 +1,110 @@
+"""Distributed SG-MCMC training step: chains x particles over a device mesh.
+
+Composes the two parallel axes (SURVEY.md §2.4): many independent chains
+sharded over the ``chain`` mesh axis (pure data parallelism, no cross-chain
+communication) and each chain's particle filter sharded over the
+``particle`` axis (ICI collectives inside `pf_shard`).  The whole update —
+subsequence sampling, buffered PF score, prior gradient, Langevin noise,
+projection — is one `shard_map`-wrapped function that jits once.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..inference.sgmcmc import PFScoreConfig, tree_random_normal
+from ..models.base import ParticleKernel, StatisticFn
+from ..ops.subsequence import sample_buffered_window, window_length
+from ..ops.buffered import window_weights
+from .pf_shard import run_buffered_pf_sharded
+
+
+def make_distributed_sgld_step(
+        kernel: ParticleKernel, stat_fn: StatisticFn, statistic_dim: int,
+        unpack, grad_logprior_fn, config: PFScoreConfig, T: int,
+        mesh: Mesh, epsilon: float, prior_mean_var_fn=None,
+        project_fn=None, is_scaled: bool = True):
+    """Build step(keys [n_chains], params_stack, observations[T, m]).
+
+    ``keys``/``params_stack`` have their chain axis sharded over the mesh's
+    'chain' axis; observations are replicated.  Each chain's PF runs with
+    N = config.n_particles split across the 'particle' axis.
+    """
+    n_particle_shards = mesh.shape["particle"]
+    if config.n_particles % n_particle_shards:
+        raise ValueError("n_particles must divide the particle mesh axis")
+    n_local = config.n_particles // n_particle_shards
+    S = config.subsequence_length
+    full = (S == -1) or (S >= T)
+    W = T if full else window_length(S, config.buffer_length, T)
+    scale = (1.0 / T) if is_scaled else 1.0
+
+    def one_chain(key, params, observations):
+        dtype = observations.dtype
+        key_win, key_pf, key_noise = jax.random.split(key, 3)
+
+        def one_window(k):
+            kw, kp = jax.random.split(k)
+            if full:
+                window, step_w, in_win = (observations,
+                                          jnp.ones((T,), dtype),
+                                          jnp.ones((T,), dtype))
+            else:
+                win = sample_buffered_window(kw, S, config.buffer_length, T,
+                                             config.partition_style, dtype)
+                window = jax.lax.dynamic_slice_in_dim(
+                    observations, win.window_start, W, axis=0)
+                step_w, in_win = window_weights(win.t1, win.tL, win.weights,
+                                                W, dtype)
+            if prior_mean_var_fn is None:
+                pm, pv = jnp.zeros((), dtype), jnp.asarray(10.0, dtype)
+            else:
+                pm, pv = prior_mean_var_fn(params)
+            return run_buffered_pf_sharded(
+                kernel, stat_fn, params, window, key=kp, n_local=n_local,
+                statistic_dim=statistic_dim, smoother=config.smoother,
+                step_weights=step_w, in_window=in_win,
+                prior_mean=pm, prior_var=pv, resampler=config.resampler,
+                lambduh=config.lambduh)
+
+        stats, logliks = jax.vmap(one_window)(
+            jax.random.split(key_pf, config.minibatch_size))
+        grad_ll = unpack(jnp.mean(stats, axis=0))
+        grad = jax.tree_util.tree_map(
+            lambda a, b: scale * (a + b), grad_ll, grad_logprior_fn(params))
+        noise = tree_random_normal(key_noise, params, scale)
+        new = jax.tree_util.tree_map(
+            lambda p, g, n: p + epsilon * g + jnp.sqrt(2.0 * epsilon) * n,
+            params, grad, noise)
+        if project_fn is not None:
+            new = project_fn(new)
+        return new, jnp.mean(logliks)
+
+    def local_fn(keys_loc, params_loc, observations):
+        return jax.vmap(one_chain, in_axes=(0, 0, None))(
+            keys_loc, params_loc, observations)
+
+    return shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(P("chain"), P("chain"), P()),
+        out_specs=(P("chain"), P("chain")),
+        check_vma=False,
+    )
+
+
+def make_distributed_fit(step, num_iters: int):
+    """Scan ``num_iters`` distributed steps under one jit."""
+    def fit(keys, params_stack, observations):
+        def body(params, i):
+            step_keys = jax.vmap(lambda k: jax.random.fold_in(k, i))(keys)
+            params, ll = step(step_keys, params, observations)
+            return params, ll
+
+        return jax.lax.scan(body, params_stack,
+                            jnp.arange(num_iters, dtype=jnp.int32))
+
+    return jax.jit(fit)

@@ -1,0 +1,131 @@
+"""Mesh-sharded PF and training step on the virtual 8-device CPU mesh."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax import shard_map
+from jax.sharding import PartitionSpec as P
+
+from sgmcmc_tpu.inference import sgmcmc
+from sgmcmc_tpu.models import lgssm, svm
+from sgmcmc_tpu.parallel import pf_shard, sharding, training
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) == 8, "conftest must provide 8 CPU devices"
+    return sharding.make_mesh(n_chain_devices=4, n_particle_devices=2)
+
+
+def test_sharded_pf_gradient_matches_kalman(mesh):
+    """Particle-sharded Poyiadjis O(N) score ~= exact Kalman gradient."""
+    params = lgssm.from_matrices(A=[[0.8]], C=[[1.0]], Q=[[0.5]], R=[[0.7]])
+    ys, _ = lgssm.generate_data(jax.random.PRNGKey(0), params, 20)
+    exact = lgssm.gradient_marginal_loglikelihood(params, ys)
+    expected = np.concatenate([
+        np.asarray(exact.LRinv_vec), np.asarray(exact.LQinv_vec),
+        np.asarray(exact.C).ravel(), np.asarray(exact.A).ravel()])
+
+    n_total, n_shards = 512, 2
+
+    def local(key, obs):
+        return pf_shard.run_buffered_pf_sharded(
+            lgssm.get_kernel("optimal"), lgssm.grad_statistic, params, obs,
+            key=key, n_local=n_total // n_shards,
+            statistic_dim=lgssm.statistic_dim(1, 1),
+            smoother="poyiadjis_N",
+            prior_mean=jnp.zeros(1, ys.dtype),
+            prior_var=10.0 * jnp.eye(1, dtype=ys.dtype))
+
+    f = shard_map(local, mesh=mesh, in_specs=(P(), P()),
+                  out_specs=(P(), P()), check_vma=False)
+    # out_specs P() would require replicated outputs; mean_stat/loglik are
+    # psum-reduced so they are replicated — assert via one shard
+    f = jax.jit(f)
+
+    reps = 12
+    stats = []
+    for i in range(reps):
+        mean_stat, ll = f(jax.random.PRNGKey(100 + i), ys)
+        stats.append(np.asarray(mean_stat))
+        assert np.isfinite(float(ll))
+    mean_stat = np.mean(stats, axis=0)
+    se = np.std(stats, axis=0) / np.sqrt(reps)
+    err = np.abs(mean_stat - expected)
+    assert np.all(err < 5 * se + 0.05 * np.abs(expected) + 0.05), (
+        mean_stat, expected, se)
+
+
+def test_sharded_pf_loglik_matches_kalman(mesh):
+    params = lgssm.from_matrices(A=[[0.8]], C=[[1.0]], Q=[[0.5]], R=[[0.7]])
+    ys, _ = lgssm.generate_data(jax.random.PRNGKey(1), params, 20)
+    exact_ll = float(lgssm.marginal_loglikelihood(params, ys))
+
+    def local(key, obs):
+        return pf_shard.run_buffered_pf_sharded(
+            lgssm.get_kernel("optimal"), lgssm.suff_statistic, params, obs,
+            key=key, n_local=256, statistic_dim=3, smoother="filter",
+            prior_mean=jnp.zeros(1, ys.dtype),
+            prior_var=10.0 * jnp.eye(1, dtype=ys.dtype))
+
+    f = jax.jit(shard_map(local, mesh=mesh, in_specs=(P(), P()),
+                          out_specs=(P(), P()), check_vma=False))
+    lls = [float(f(jax.random.PRNGKey(200 + i), ys)[1]) for i in range(10)]
+    assert abs(np.mean(lls) - exact_ll) < 0.05 * abs(exact_ll)
+
+
+def test_distributed_sgld_step_runs_and_is_deterministic(mesh):
+    """8 chains over a (4, 2) mesh; identical keys -> identical chains."""
+    T = 64
+    true = svm.from_scalars(A=0.9, Q=0.5, R=1.0, dtype=jnp.float64)
+    ys, _ = svm.generate_data(jax.random.PRNGKey(0), true, T)
+    prior = svm.default_prior(dtype=jnp.float64)
+    cfg = sgmcmc.PFScoreConfig(n_particles=64, subsequence_length=16,
+                               buffer_length=4, smoother="poyiadjis_N")
+    step = training.make_distributed_sgld_step(
+        svm.KERNEL, svm.grad_statistic, svm.STATISTIC_DIM, svm.unpack_grad,
+        lambda p: svm.grad_logprior(prior, p), cfg, T, mesh, epsilon=0.05,
+        prior_mean_var_fn=lambda p: (0.0, svm.stationary_variance(p)),
+        project_fn=svm.project_parameters)
+
+    n_chains = 8
+    same_key = jax.random.PRNGKey(7)
+    keys = jnp.broadcast_to(same_key, (n_chains,) + same_key.shape)
+    params0 = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (n_chains,) + x.shape),
+        svm.from_scalars(A=0.5, Q=1.0, R=2.0, dtype=jnp.float64))
+    new, ll = jax.jit(step)(keys, params0, ys)
+    for leaf in jax.tree_util.tree_leaves(new):
+        arr = np.asarray(leaf)
+        assert np.all(np.isfinite(arr))
+        # all chains identical since keys identical
+        np.testing.assert_allclose(arr, np.broadcast_to(arr[:1], arr.shape),
+                                   rtol=1e-12)
+    assert np.all(np.isfinite(np.asarray(ll)))
+
+
+def test_distributed_fit_moves_toward_truth(mesh):
+    T = 256
+    true = svm.from_scalars(A=0.9, Q=0.5, R=1.0, dtype=jnp.float64)
+    ys, _ = svm.generate_data(jax.random.PRNGKey(3), true, T)
+    prior = svm.default_prior(dtype=jnp.float64)
+    cfg = sgmcmc.PFScoreConfig(n_particles=64, subsequence_length=32,
+                               buffer_length=8, smoother="poyiadjis_N")
+    step = training.make_distributed_sgld_step(
+        svm.KERNEL, svm.grad_statistic, svm.STATISTIC_DIM, svm.unpack_grad,
+        lambda p: svm.grad_logprior(prior, p), cfg, T, mesh, epsilon=0.1,
+        prior_mean_var_fn=lambda p: (0.0, svm.stationary_variance(p)),
+        project_fn=svm.project_parameters)
+    fit = training.make_distributed_fit(step, num_iters=60)
+
+    n_chains = 8
+    keys = jax.random.split(jax.random.PRNGKey(4), n_chains)
+    params0 = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (n_chains,) + x.shape),
+        svm.from_scalars(A=0.2, Q=1.5, R=2.5, dtype=jnp.float64))
+    final, ll = fit(keys, params0, ys)
+    A_final = np.asarray(final.A)[:, 0, 0]
+    assert np.all(np.isfinite(A_final))
+    # chains differ (different keys) and drift toward truth 0.9 from 0.2
+    assert A_final.std() > 0
+    assert A_final.mean() > 0.5, A_final
