@@ -22,10 +22,10 @@ from sgmcmc_tpu.inference import sgmcmc
 from sgmcmc_tpu.models import svm
 
 N_PARTICLES = 1024
-N_CHAINS = 64
+N_CHAINS = 2048
 SUBSEQ, BUFFER = 40, 10
 T = 1000
-ITERS = 50
+ITERS = 20
 PER_CHIP_TARGET = 12500.0
 
 
@@ -37,7 +37,7 @@ def main():
     cfg = sgmcmc.PFScoreConfig(
         n_particles=N_PARTICLES, subsequence_length=SUBSEQ,
         buffer_length=BUFFER, minibatch_size=1, smoother="poyiadjis_N",
-        resampler="systematic")
+        resampler="systematic", resample_mode="pallas")
     score_fn = sgmcmc.make_pf_score_fn(
         svm.KERNEL, svm.grad_statistic, svm.STATISTIC_DIM, svm.unpack_grad,
         cfg, T,

@@ -1,0 +1,224 @@
+"""Evaluators: tidy-DataFrame metric collection around samplers.
+
+Rewrite of `/root/reference/sgmcmc_ssm/evaluator.py`:
+
+* `BaseEvaluator` (`evaluator.py:8-182`)   — metric/sample rows -> DataFrames
+* `SamplerEvaluator` (`evaluator.py:187-377`) — online wrapper timing each
+  sampler step, state save/load for resume
+* `OfflineEvaluator` (`evaluator.py:382-632`) — re-evaluates a saved
+  parameter trace with recursive-bisection ordering
+* `average_parameters_list` / `half_average_parameters_list`
+  (`evaluator.py:683-759`) — running means in flattened-vector space
+"""
+from __future__ import annotations
+
+import time
+from typing import Callable, Iterable
+
+import numpy as np
+import pandas as pd
+
+import jax
+from jax.flatten_util import ravel_pytree
+
+
+def _as_rows(result) -> list[dict]:
+    if isinstance(result, dict):
+        return [result]
+    return list(result)
+
+
+class BaseEvaluator:
+    """Collects metric/sample rows into tidy DataFrames."""
+
+    def __init__(self, metric_functions=None, sample_functions=None):
+        self.metric_functions = list(metric_functions or [])
+        self.sample_functions = list(sample_functions or [])
+        self.metrics = pd.DataFrame()
+        self.samples = pd.DataFrame()
+
+    def eval_metric_functions(self, sampler, iteration, **extra):
+        rows = []
+        for fn in self.metric_functions:
+            for row in _as_rows(fn(sampler)):
+                rows.append(dict(iteration=iteration, **row, **extra))
+        if rows:
+            self.metrics = pd.concat([self.metrics, pd.DataFrame(rows)],
+                                     ignore_index=True)
+        return rows
+
+    def eval_sample_functions(self, sampler, iteration, **extra):
+        rows = []
+        for fn in self.sample_functions:
+            for row in _as_rows(fn(sampler)):
+                rows.append(dict(iteration=iteration, **row, **extra))
+        if rows:
+            self.samples = pd.concat([self.samples, pd.DataFrame(rows)],
+                                     ignore_index=True)
+        return rows
+
+    def get_metrics(self) -> pd.DataFrame:
+        return self.metrics
+
+    def get_samples(self) -> pd.DataFrame:
+        return self.samples
+
+
+class SamplerEvaluator(BaseEvaluator):
+    """Online evaluator: wraps sampler steps, timing and recording
+    (`SamplerEvaluator.evaluate_sampler_step`, `evaluator.py:295-365`)."""
+
+    def __init__(self, sampler, metric_functions=None, sample_functions=None,
+                 init_state=None):
+        super().__init__(metric_functions, sample_functions)
+        self.sampler = sampler
+        self.iteration = 0
+        self.elapsed_time = 0.0
+        if init_state is not None:
+            self.load_state(init_state)
+        else:
+            self.eval_metric_functions(sampler, self.iteration)
+            self.eval_sample_functions(sampler, self.iteration)
+
+    def evaluate_sampler_step(self, func_names: list[str],
+                              func_kwargs: list[dict] | None = None,
+                              evaluate: bool = True):
+        """Call the named sampler methods, time them, record metrics."""
+        if isinstance(func_names, str):
+            func_names = [func_names]
+        if func_kwargs is None:
+            func_kwargs = [{} for _ in func_names]
+        start = time.perf_counter()
+        out = None
+        for name, kwargs in zip(func_names, func_kwargs):
+            out = getattr(self.sampler, name)(**kwargs)
+        step_time = time.perf_counter() - start
+        self.iteration += 1
+        self.elapsed_time += step_time
+        if evaluate:
+            self.eval_metric_functions(self.sampler, self.iteration,
+                                       time=self.elapsed_time)
+            self.metrics = pd.concat([self.metrics, pd.DataFrame([dict(
+                iteration=self.iteration, metric="runtime", variable="all",
+                value=step_time, time=self.elapsed_time)])],
+                ignore_index=True)
+            self.eval_sample_functions(self.sampler, self.iteration,
+                                       time=self.elapsed_time)
+        return out
+
+    def save_state(self) -> dict:
+        return dict(
+            iteration=self.iteration,
+            elapsed_time=self.elapsed_time,
+            metrics=self.metrics,
+            samples=self.samples,
+            parameters=self.sampler.parameters,
+        )
+
+    def load_state(self, state: dict):
+        self.iteration = state["iteration"]
+        self.elapsed_time = state["elapsed_time"]
+        self.metrics = state["metrics"]
+        self.samples = state["samples"]
+        self.sampler.parameters = state["parameters"]
+
+
+class OfflineEvaluator(BaseEvaluator):
+    """Evaluate a saved parameter trace out of order
+    (`OfflineEvaluator`, `evaluator.py:382-632`): first, last, then always
+    the midpoint of the largest unevaluated gap."""
+
+    def __init__(self, sampler, parameters_list: list,
+                 parameters_times: Iterable | None = None,
+                 metric_functions=None, sample_functions=None,
+                 init_state=None):
+        super().__init__(metric_functions, sample_functions)
+        self.sampler = sampler
+        self.parameters_list = list(parameters_list)
+        self.parameters_times = (list(parameters_times)
+                                 if parameters_times is not None else None)
+        self.eval_flag = np.zeros(len(self.parameters_list), dtype=bool)
+        if init_state is not None:
+            self.metrics = init_state["metrics"]
+            self.samples = init_state["samples"]
+            self.eval_flag = init_state["eval_flag"]
+
+    def num_to_eval(self) -> int:
+        return int((~self.eval_flag).sum())
+
+    def _next_eval_index(self) -> int | None:
+        """Recursive bisection order (`_get_eval_iteration`,
+        `evaluator.py:635-661`)."""
+        n = len(self.eval_flag)
+        if n == 0 or self.eval_flag.all():
+            return None
+        if not self.eval_flag[0]:
+            return 0
+        if not self.eval_flag[-1]:
+            return n - 1
+        done = np.flatnonzero(self.eval_flag)
+        gaps = np.diff(done)
+        i = int(np.argmax(gaps))
+        if gaps[i] <= 1:
+            return None
+        return int(done[i] + gaps[i] // 2)
+
+    def evaluate(self, num_to_eval: int | None = None, tqdm=None):
+        count = 0
+        it = range(num_to_eval) if num_to_eval else iter(int, 1)
+        if tqdm is not None and num_to_eval:
+            it = tqdm(it)
+        for _ in it:
+            idx = self._next_eval_index()
+            if idx is None:
+                break
+            self.sampler.parameters = self.parameters_list[idx]
+            extra = {}
+            if self.parameters_times is not None:
+                extra["time"] = self.parameters_times[idx]
+            self.eval_metric_functions(self.sampler, idx, **extra)
+            self.eval_sample_functions(self.sampler, idx, **extra)
+            self.eval_flag[idx] = True
+            count += 1
+        return count
+
+    def save_state(self) -> dict:
+        return dict(metrics=self.metrics, samples=self.samples,
+                    eval_flag=self.eval_flag)
+
+
+def average_parameters_list(parameters_list: list, burnin: int = 0) -> list:
+    """Running mean of the trace in flattened-vector space
+    (`average_parameters_list`, `evaluator.py:683-722`)."""
+    if not parameters_list:
+        return []
+    flat0, unravel = ravel_pytree(parameters_list[0])
+    out = []
+    acc = np.zeros_like(np.asarray(flat0))
+    count = 0
+    for i, p in enumerate(parameters_list):
+        if i < burnin:
+            out.append(p)
+            continue
+        acc = acc + np.asarray(ravel_pytree(p)[0])
+        count += 1
+        out.append(unravel(acc / count))
+    return out
+
+
+def half_average_parameters_list(parameters_list: list) -> list:
+    """Mean of the most recent half of the trace at each index
+    (`half_average_parameters_list`, `evaluator.py:724-759`)."""
+    if not parameters_list:
+        return []
+    flat0, unravel = ravel_pytree(parameters_list[0])
+    flats = np.stack([np.asarray(ravel_pytree(p)[0])
+                      for p in parameters_list])
+    cumsum = np.concatenate([np.zeros((1, flats.shape[1])),
+                             np.cumsum(flats, axis=0)])
+    out = []
+    for i in range(len(parameters_list)):
+        lo = (i + 1) // 2  # average over indices [lo, i]
+        mean = (cumsum[i + 1] - cumsum[lo]) / (i + 1 - lo)
+        out.append(unravel(mean))
+    return out

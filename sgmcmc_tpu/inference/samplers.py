@@ -1,0 +1,324 @@
+"""User-facing sampler classes mirroring the reference API.
+
+The reference's `SGMCMCSampler` (`sgmcmc_sampler.py:12-1155`) is a stateful
+object with `fit` / `sample_sgld` / `noisy_gradient` / ... methods.  This
+module provides the same ergonomics on top of the functional core: a
+`Sampler` holds (model, observations, prior, parameters, PRNG key), builds
+and caches jitted update functions per configuration, and mutates only its
+own Python-side references.  All numerics happen in jitted pytree code.
+"""
+from __future__ import annotations
+
+import time
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.registry import ModelAPI, get_model
+from . import sgmcmc
+
+
+class Sampler:
+    """Stateful convenience wrapper over the functional SG-MCMC core.
+
+    Equivalent surface to the reference's per-model `*Sampler` classes
+    (e.g. `svm/sampler.py`, `lgssm/sampler.py`).
+    """
+
+    def __init__(self, model: ModelAPI | str, observations=None, prior=None,
+                 parameters=None, seed: int = 0, **options):
+        self.model = get_model(model) if isinstance(model, str) else model
+        self.observations = None if observations is None else jnp.asarray(
+            observations)
+        self.prior = self.model.default_prior() if prior is None else prior
+        self.options = options
+        self._key = jax.random.PRNGKey(seed)
+        if parameters is not None:
+            self.parameters = parameters
+        else:
+            self.parameters = self.model.sample_prior(self.prior,
+                                                      self.next_key())
+            self.parameters = self.model.project_parameters(self.parameters)
+        self._cache: dict[Any, Any] = {}
+
+    # -- PRNG threading ---------------------------------------------------
+    def next_key(self):
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+    @property
+    def T(self) -> int:
+        return int(self.observations.shape[0])
+
+    # -- config / jit cache ----------------------------------------------
+    def _score_config(self, **kwargs) -> sgmcmc.PFScoreConfig:
+        return sgmcmc.PFScoreConfig(
+            n_particles=kwargs.get("N", kwargs.get("n_particles", 1000)),
+            subsequence_length=kwargs.get("subsequence_length", -1),
+            buffer_length=kwargs.get("buffer_length", 0),
+            minibatch_size=kwargs.get("minibatch_size", 1),
+            smoother=kwargs.get("pf", kwargs.get("smoother", "poyiadjis_N")),
+            resampler=kwargs.get("resampler", "multinomial"),
+            lambduh=kwargs.get("lambduh", 0.95),
+            n_tilde=kwargs.get("Ntilde", kwargs.get("n_tilde", 2)),
+            partition_style=kwargs.get("partition_style", "uniform"),
+        )
+
+    def _grad_fn(self, preconditioned: bool = False, is_scaled: bool = True,
+                 **kwargs):
+        cfg = self._score_config(**kwargs)
+        kernel_name = kwargs.get("kernel")
+        cache_key = ("grad", cfg, kernel_name, preconditioned, is_scaled,
+                     self.T)
+        if cache_key not in self._cache:
+            m = self.model
+            score = sgmcmc.make_pf_score_fn(
+                m.get_kernel(kernel_name), m.grad_statistic,
+                m.grad_statistic_dim, m.unpack_grad, cfg, self.T,
+                prior_mean_var_fn=m.prior_mean_var)
+            precond = None
+            if preconditioned:
+                if m.precondition is None:
+                    raise NotImplementedError(
+                        f"{m.name} has no preconditioner")
+                precond = sgmcmc.Preconditioner(
+                    m.precondition, m.precondition_noise, m.correction_term)
+            fn = sgmcmc.make_noisy_grad_fn(
+                score, lambda p: m.grad_logprior(self.prior, p), self.T,
+                is_scaled=is_scaled, preconditioner=precond)
+            self._cache[cache_key] = jax.jit(fn)
+        return self._cache[cache_key]
+
+    def _loglik_fn(self, **kwargs):
+        cfg = self._score_config(**kwargs)
+        kernel_name = kwargs.get("kernel")
+        cache_key = ("loglik", cfg, kernel_name, self.T)
+        if cache_key not in self._cache:
+            m = self.model
+            score = sgmcmc.make_pf_score_fn(
+                m.get_kernel(kernel_name), m.suff_statistic,
+                m.suff_statistic_dim, lambda s: s, cfg, self.T,
+                prior_mean_var_fn=m.prior_mean_var)
+            self._cache[cache_key] = jax.jit(score)
+        return self._cache[cache_key]
+
+    # -- likelihoods -------------------------------------------------------
+    def noisy_loglikelihood(self, kind: str = "pf", **kwargs) -> float:
+        if kind == "marginal":
+            return self.exact_loglikelihood()
+        _, loglik = self._loglik_fn(**kwargs)(
+            self.next_key(), self.parameters, self.observations)
+        return float(loglik)
+
+    def noisy_logjoint(self, return_loglike=False, **kwargs):
+        ll = self.noisy_loglikelihood(**kwargs)
+        lp = float(self.model.logprior(self.prior, self.parameters))
+        if return_loglike:
+            return dict(logjoint=ll + lp, loglikelihood=ll)
+        return ll + lp
+
+    def exact_loglikelihood(self) -> float:
+        if not self.model.has_exact:
+            raise NotImplementedError(
+                f"{self.model.name} has no exact marginal likelihood")
+        return float(self.model.marginal_loglikelihood(self.parameters,
+                                                       self.observations))
+
+    def exact_gradient(self):
+        if not self.model.has_exact:
+            raise NotImplementedError
+        return self.model.gradient_marginal_loglikelihood(self.parameters,
+                                                          self.observations)
+
+    # -- gradient / steps --------------------------------------------------
+    def noisy_gradient(self, preconditioner=False, is_scaled=True, **kwargs):
+        grad, _ = self._grad_fn(preconditioned=bool(preconditioner),
+                                is_scaled=is_scaled, **kwargs)(
+            self.next_key(), self.parameters, self.observations)
+        return grad
+
+    def _step(self, name: str, epsilon: float, **kwargs):
+        cache_key = ("step", name, float(epsilon),
+                     tuple(sorted(kwargs.items(), key=lambda kv: kv[0]))
+                     if all(isinstance(v, (int, float, str, bool, type(None)))
+                            for v in kwargs.values()) else None)
+        if cache_key not in self._cache or cache_key[-1] is None:
+            grad_fn = self._grad_fn(
+                preconditioned=(name == "sgrld"), **kwargs)
+            m = self.model
+            T = self.T
+
+            if name in ("sgld", "sgrld"):
+                if name == "sgrld":
+                    precond = sgmcmc.Preconditioner(
+                        m.precondition, m.precondition_noise,
+                        m.correction_term)
+
+                    def step(key, params, obs):
+                        return sgmcmc.sgrld_step(key, params, obs, grad_fn,
+                                                 precond, epsilon, T)
+                else:
+                    def step(key, params, obs):
+                        return sgmcmc.sgld_step(key, params, obs, grad_fn,
+                                                epsilon, T)
+            elif name == "sgd":
+                def step(key, params, obs):
+                    return sgmcmc.sgd_step(key, params, obs, grad_fn, epsilon)
+            else:
+                raise ValueError(name)
+
+            def step_and_project(key, params, obs):
+                new, aux = step(key, params, obs)
+                return m.project_parameters(new, **self.options.get(
+                    "project_kwargs", {})), aux
+
+            self._cache[cache_key] = jax.jit(step_and_project)
+        return self._cache[cache_key]
+
+    def sample_sgld(self, epsilon, **kwargs):
+        self.parameters, _ = self._step("sgld", epsilon, **kwargs)(
+            self.next_key(), self.parameters, self.observations)
+        return self.parameters
+
+    def sample_sgrld(self, epsilon, **kwargs):
+        self.parameters, _ = self._step("sgrld", epsilon, **kwargs)(
+            self.next_key(), self.parameters, self.observations)
+        return self.parameters
+
+    def step_sgd(self, epsilon, **kwargs):
+        self.parameters, _ = self._step("sgd", epsilon, **kwargs)(
+            self.next_key(), self.parameters, self.observations)
+        return self.parameters
+
+    def step_adagrad(self, epsilon, **kwargs):
+        if not hasattr(self, "_adagrad_state"):
+            self._adagrad_state = sgmcmc.adagrad_init(self.parameters)
+        grad_fn = self._grad_fn(**kwargs)
+        key = self.next_key()
+        m = self.model
+        cache_key = ("adagrad_step", float(epsilon))
+        if cache_key not in self._cache:
+            def step(key, params, state, obs):
+                new, state, ll = sgmcmc.adagrad_step(key, params, state, obs,
+                                                     grad_fn, epsilon)
+                return m.project_parameters(new), state, ll
+            self._cache[cache_key] = jax.jit(step)
+        self.parameters, self._adagrad_state, _ = self._cache[cache_key](
+            key, self.parameters, self._adagrad_state, self.observations)
+        return self.parameters
+
+    def project_parameters(self, **kwargs):
+        self.parameters = self.model.project_parameters(self.parameters,
+                                                        **kwargs)
+        return self.parameters
+
+    # -- fit ---------------------------------------------------------------
+    def get_iter_step(self, iter_type: str):
+        """iter_type -> bound step method (`get_iter_step`,
+        `sgmcmc_sampler.py:896-947`)."""
+        table = {
+            "SGLD": self.sample_sgld,
+            "SGRLD": self.sample_sgrld,
+            "SGD": self.step_sgd,
+            "ADAGRAD": self.step_adagrad,
+        }
+        if iter_type not in table:
+            raise ValueError(f"Unrecognized iter_type '{iter_type}'")
+        return table[iter_type]
+
+    def fit(self, iter_type: str, num_iters: int, epsilon: float = 0.1,
+            output_all: bool = False, steps_per_iteration: int = 1,
+            tqdm=None, **kwargs):
+        """Python-loop fit (checkpointable, reference semantics).
+
+        For maximum-throughput runs use `fit_scan`, which compiles the whole
+        loop into one XLA program.
+        """
+        step = self.get_iter_step(iter_type)
+        params_list = [self.parameters] if output_all else None
+        it = range(num_iters)
+        if tqdm is not None:
+            it = tqdm(it)
+        for _ in it:
+            for _ in range(steps_per_iteration):
+                step(epsilon, **kwargs)
+            if output_all:
+                params_list.append(self.parameters)
+        return params_list if output_all else self.parameters
+
+    def fit_timed(self, iter_type: str, max_time: float, epsilon: float = 0.1,
+                  steps_per_iteration: int = 1, **kwargs):
+        """Wall-clock-budgeted fit (`fit_timed`, `sgmcmc_sampler.py:723`)."""
+        step = self.get_iter_step(iter_type)
+        params_list = [self.parameters]
+        times = [0.0]
+        start = time.perf_counter()
+        while time.perf_counter() - start < max_time:
+            for _ in range(steps_per_iteration):
+                step(epsilon, **kwargs)
+            params_list.append(self.parameters)
+            times.append(time.perf_counter() - start)
+        return params_list, times
+
+    def fit_scan(self, iter_type: str, num_iters: int, epsilon: float = 0.1,
+                 steps_per_iteration: int = 1, **kwargs):
+        """Whole-loop-compiled fit returning the full parameter trace."""
+        if iter_type != "SGLD":
+            raise NotImplementedError("fit_scan currently supports SGLD")
+        grad_fn = self._grad_fn(**kwargs)
+        m = self.model
+        T = self.T
+
+        def step(key, params, obs):
+            new, ll = sgmcmc.sgld_step(key, params, obs, grad_fn, epsilon, T)
+            return new, ll
+
+        cache_key = ("fit_scan", iter_type, float(epsilon), num_iters,
+                     steps_per_iteration)
+        if cache_key not in self._cache:
+            self._cache[cache_key] = jax.jit(
+                lambda key, params, obs: sgmcmc.fit(
+                    key, params, obs, step, num_iters,
+                    project_fn=m.project_parameters,
+                    steps_per_iter=steps_per_iteration))
+        params, trace, aux = self._cache[cache_key](
+            self.next_key(), self.parameters, self.observations)
+        self.parameters = params
+        return trace
+
+    # -- simulate ----------------------------------------------------------
+    def simulate(self, T: int, parameters=None):
+        p = self.parameters if parameters is None else parameters
+        return self.model.generate_data(self.next_key(), p, T)
+
+
+class GibbsSamplerMixin:
+    """Blocked Gibbs for conjugate models (LGSSM)."""
+
+    def sample_gibbs(self):
+        from ..models import lgssm as lgssm_mod
+        self.parameters = lgssm_mod.gibbs_step(
+            self.next_key(), self.prior, self.parameters, self.observations)
+        return self.parameters
+
+
+class LGSSMSampler(GibbsSamplerMixin, Sampler):
+    def __init__(self, observations=None, **kw):
+        super().__init__("lgssm", observations, **kw)
+
+    def get_iter_step(self, iter_type):
+        if iter_type == "Gibbs":
+            return lambda *a, **k: self.sample_gibbs()
+        return super().get_iter_step(iter_type)
+
+
+class SVMSampler(Sampler):
+    def __init__(self, observations=None, **kw):
+        super().__init__("svm", observations, **kw)
+
+
+class GARCHSampler(Sampler):
+    def __init__(self, observations=None, **kw):
+        super().__init__("garch", observations, **kw)

@@ -65,6 +65,7 @@ class PFScoreConfig:
     minibatch_size: int = 1
     smoother: str = "poyiadjis_N"       # nemeth|poyiadjis_N|poyiadjis_N2|paris|filter
     resampler: str = "multinomial"
+    resample_mode: str = "gather"       # gather|xla|pallas (TPU fast path)
     lambduh: float = 0.95
     n_tilde: int = 2
     partition_style: str = "uniform"
@@ -109,8 +110,8 @@ def make_pf_score_fn(kernel: ParticleKernel, stat_fn: StatisticFn,
             statistic_dim=statistic_dim, smoother=config.smoother,
             step_weights=step_w, in_window=in_win,
             prior_mean=prior_mean, prior_var=prior_var,
-            resampler=config.resampler, lambduh=config.lambduh,
-            n_tilde=config.n_tilde)
+            resampler=config.resampler, resample_mode=config.resample_mode,
+            lambduh=config.lambduh, n_tilde=config.n_tilde)
         return out.mean_statistic, out.loglikelihood
 
     def score_fn(key, params, observations):

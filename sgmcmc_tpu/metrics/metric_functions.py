@@ -1,0 +1,140 @@
+"""Metric / sample function factories for evaluators.
+
+Rewrite of `/root/reference/sgmcmc_ssm/metric_functions.py`: each factory
+returns ``sampler -> dict(metric=..., variable=..., value=...)`` (or a list
+of such dicts) consumed by the evaluators.  Parameter comparisons operate on
+pytree leaves; the error metrics are {mse, logmse, rmse, mae}
+(`metric_functions.py:205-237`).
+"""
+from __future__ import annotations
+
+from typing import Callable
+
+import numpy as np
+
+
+def _error(metric: str, a: np.ndarray, b: np.ndarray) -> float:
+    diff = np.ravel(a) - np.ravel(b)
+    mse = float(np.mean(diff ** 2))
+    if metric == "mse":
+        return mse
+    if metric == "logmse":
+        return float(np.log10(mse)) if mse > 0 else -np.inf
+    if metric == "rmse":
+        return float(np.sqrt(mse))
+    if metric == "mae":
+        return float(np.mean(np.abs(diff)))
+    raise ValueError(f"Unrecognized metric '{metric}'")
+
+
+def metric_function_parameters(target_parameters, variables: list[str],
+                               metric: str = "logmse",
+                               target_variables: list[str] | None = None
+                               ) -> Callable:
+    """Per-variable error of sampler.parameters vs target parameters
+    (`metric_function_parameters`, `metric_functions.py:73-128`)."""
+    target_variables = target_variables or variables
+
+    def metric_fn(sampler):
+        rows = []
+        for var, tvar in zip(variables, target_variables):
+            value = _error(metric,
+                           np.asarray(getattr(sampler.parameters, var)),
+                           np.asarray(getattr(target_parameters, tvar)))
+            rows.append(dict(metric=f"{var}_{metric}", variable=var,
+                             value=value))
+        return rows
+
+    return metric_fn
+
+
+def sample_function_parameters(variables: list[str]) -> Callable:
+    """Record current parameter values (`sample_function_parameters`,
+    `metric_functions.py:32-70`)."""
+    def sample_fn(sampler):
+        rows = []
+        for var in variables:
+            val = np.asarray(getattr(sampler.parameters, var))
+            if val.size == 1:
+                rows.append(dict(variable=var, value=float(val.ravel()[0])))
+            else:
+                for idx, v in enumerate(val.ravel()):
+                    rows.append(dict(variable=f"{var}_{idx}",
+                                     value=float(v)))
+        return rows
+
+    return sample_fn
+
+
+def noisy_logjoint_loglike_metric(**kwargs) -> Callable:
+    """Noisy log-joint + log-likelihood rows
+    (`noisy_logjoint_loglike_metric`, `metric_functions.py:362-381`)."""
+    def metric_fn(sampler):
+        out = sampler.noisy_logjoint(return_loglike=True, **kwargs)
+        return [
+            dict(metric="logjoint", variable="all",
+                 value=float(out["logjoint"])),
+            dict(metric="loglikelihood", variable="all",
+                 value=float(out["loglikelihood"])),
+        ]
+
+    return metric_fn
+
+
+def metric_compare_x(true_x, metric: str = "rmse") -> Callable:
+    """Latent-path recovery error (`metric_compare_x`,
+    `metric_functions.py:440-456`); requires the sampler to expose
+    `latent_var_mean()` or an exact smoother."""
+    true_x = np.asarray(true_x)
+
+    def metric_fn(sampler):
+        from ..models import lgssm as lgssm_mod
+        from ..ops import kalman
+        p = sampler.parameters
+        mean, _ = kalman.pairwise_smoothed_moments(
+            sampler.observations, p.A, p.C, p.LQinv, p.LRinv,
+            lgssm_mod.default_forward_message(p),
+            lgssm_mod.default_backward_message(p))
+        return dict(metric=f"x_{metric}", variable="x",
+                    value=_error(metric, np.asarray(mean), true_x))
+
+    return metric_fn
+
+
+def best_permutation_metric_function_parameters(
+        target_parameters, variables: list[str], metric: str = "logmse",
+        num_states: int | None = None) -> Callable:
+    """Label-permutation-invariant comparison for HMM-family state-indexed
+    parameters (`best_*_permutation_metric_function_parameter`,
+    `metric_functions.py:263-360`): minimizes over state relabelings."""
+    from itertools import permutations
+
+    def metric_fn(sampler):
+        rows = []
+        K = num_states
+        if K is None:
+            K = np.asarray(getattr(sampler.parameters, variables[0])).shape[0]
+        best = None
+        for perm in permutations(range(K)):
+            perm = list(perm)
+            total = 0.0
+            for var in variables:
+                a = np.asarray(getattr(sampler.parameters, var))
+                b = np.asarray(getattr(target_parameters, var))
+                if var == "pi":
+                    a_p = a[perm][:, perm]
+                else:
+                    a_p = a[perm]
+                total += float(np.mean((np.ravel(a_p) - np.ravel(b)) ** 2))
+            if best is None or total < best[0]:
+                best = (total, perm)
+        _, perm = best
+        for var in variables:
+            a = np.asarray(getattr(sampler.parameters, var))
+            b = np.asarray(getattr(target_parameters, var))
+            a_p = a[perm][:, perm] if var == "pi" else a[perm]
+            rows.append(dict(metric=f"{var}_{metric}", variable=var,
+                             value=_error(metric, a_p, b)))
+        return rows
+
+    return metric_fn

@@ -70,6 +70,7 @@ def run_buffered_pf(
         prior_mean=0.0,
         prior_var=1.0,
         resampler: str = "multinomial",
+        resample_mode: str = "gather",
         lambduh: float = 0.95,
         n_tilde: int = 2,
         logsumexp_mode: bool = False,
@@ -103,7 +104,8 @@ def run_buffered_pf(
 
     step = make_smoother_step(smoother, kernel, stat_fn,
                               resampler_name=resampler, lambduh=lambduh,
-                              n_tilde=n_tilde, logsumexp_mode=logsumexp_mode)
+                              n_tilde=n_tilde, logsumexp_mode=logsumexp_mode,
+                              resample_mode=resample_mode)
 
     key_init, key_steps = jax.random.split(key)
     x0 = kernel.sample_x0(params, key_init, n_particles, prior_mean, prior_var)

@@ -30,6 +30,7 @@ import jax
 import jax.numpy as jnp
 
 from ..models.base import ParticleKernel, StatisticFn
+from .pallas.resample import default_mode, resample_apply
 from .resampling import get_resampler, normalize_log_weights
 
 
@@ -59,6 +60,29 @@ def _propagate(kernel: ParticleKernel, resampler, params, key, particles,
     return parents, new_particles, new_log_weights, ancestors
 
 
+def _propagate_apply(kernel: ParticleKernel, scheme: str, mode: str, params,
+                     key, particles, log_weights, extra_vals, y):
+    """Bootstrap PF step with fused resample-apply (TPU fast path).
+
+    Resamples ``particles`` (and optionally per-particle ``extra_vals``,
+    e.g. running smoother statistics) in one one-hot-matmul application —
+    see `ops/pallas/resample.py`.  Returns (parents, new_particles,
+    new_log_weights, resampled_extra_vals).
+    """
+    key_res, key_prop = jax.random.split(key)
+    if extra_vals is None:
+        V = particles
+    else:
+        V = jnp.concatenate([particles, extra_vals], axis=-1)
+    Vr = resample_apply(key_res, log_weights, V, scheme, mode)
+    D = particles.shape[-1]
+    parents = Vr[:, :D]
+    extras = None if extra_vals is None else Vr[:, D:]
+    new_particles = kernel.propose(params, key_prop, parents, y)
+    new_log_weights = kernel.reweight(params, parents, new_particles, y)
+    return parents, new_particles, new_log_weights, extras
+
+
 def _loglik_increment(new_log_weights):
     """log(mean(exp(log_w))) — per-step marginal-likelihood increment
     (`buffered_smoother.py:124-126`), computed stably via logsumexp."""
@@ -69,7 +93,8 @@ def _loglik_increment(new_log_weights):
 
 def make_filter_step(kernel: ParticleKernel, stat_fn: StatisticFn,
                      resampler_name: str = "multinomial",
-                     logsumexp_mode: bool = False):
+                     logsumexp_mode: bool = False,
+                     resample_mode: str = "gather"):
     """Filtering accumulator step: statistics [H] += E[h_t | y_{<=t}].
 
     With ``logsumexp_mode`` the accumulation is
@@ -78,12 +103,19 @@ def make_filter_step(kernel: ParticleKernel, stat_fn: StatisticFn,
     `pf.py:73-76` collapses the statistic axis in its inner sum — we keep
     the mathematically intended per-dimension reduction).
     """
+    if resample_mode == "auto":
+        resample_mode = default_mode()
     resampler = get_resampler(resampler_name)
 
     def step(params, carry: PFCarry, inp: PFStepInput) -> PFCarry:
-        parents, particles, log_w, _ = _propagate(
-            kernel, resampler, params, inp.key, carry.particles,
-            carry.log_weights, inp.y)
+        if resample_mode == "gather":
+            parents, particles, log_w, _ = _propagate(
+                kernel, resampler, params, inp.key, carry.particles,
+                carry.log_weights, inp.y)
+        else:
+            parents, particles, log_w, _ = _propagate_apply(
+                kernel, resampler_name, resample_mode, params, inp.key,
+                carry.particles, carry.log_weights, None, inp.y)
         h = stat_fn(params, parents, particles, inp.y, inp.t)  # [N, H]
         scale = inp.weight * inp.in_window
         probs = normalize_log_weights(log_w)                   # [N]
@@ -102,24 +134,39 @@ def make_filter_step(kernel: ParticleKernel, stat_fn: StatisticFn,
 
 def make_nemeth_step(kernel: ParticleKernel, stat_fn: StatisticFn,
                      lambduh: float = 0.95,
-                     resampler_name: str = "multinomial"):
+                     resampler_name: str = "multinomial",
+                     resample_mode: str = "gather"):
     """Nemeth et al. (2015) O(N) shrinkage smoother step (`pf.py:138-181`).
 
     ``lambduh = 1.0`` recovers Poyiadjis O(N) (`buffered_smoother.py:175`).
+    With ``resample_mode != 'gather'`` the carried statistics are resampled
+    jointly with the particles through the fused one-hot matmul.
     """
+    if resample_mode == "auto":
+        resample_mode = default_mode()
     resampler = get_resampler(resampler_name)
 
     def step(params, carry: PFCarry, inp: PFStepInput) -> PFCarry:
-        probs = normalize_log_weights(carry.log_weights)        # [N]
-        S_bar = jnp.sum(carry.statistics * probs[:, None], axis=0)  # [H]
-        parents, particles, log_w, ancestors = _propagate(
-            kernel, resampler, params, inp.key, carry.particles,
-            carry.log_weights, inp.y)
+        if lambduh != 1.0:
+            probs = normalize_log_weights(carry.log_weights)    # [N]
+            S_bar = jnp.sum(carry.statistics * probs[:, None], axis=0)
+        if resample_mode == "gather":
+            parents, particles, log_w, ancestors = _propagate(
+                kernel, resampler, params, inp.key, carry.particles,
+                carry.log_weights, inp.y)
+            stats_anc = jnp.take(carry.statistics, ancestors, axis=0)
+        else:
+            parents, particles, log_w, stats_anc = _propagate_apply(
+                kernel, resampler_name, resample_mode, params, inp.key,
+                carry.particles, carry.log_weights, carry.statistics, inp.y)
         h = stat_fn(params, parents, particles, inp.y, inp.t)   # [N, H]
         scale = inp.weight * inp.in_window
-        stats = (lambduh * jnp.take(carry.statistics, ancestors, axis=0)
-                 + (1.0 - lambduh) * S_bar[None, :]
-                 + scale * h)
+        if lambduh == 1.0:
+            stats = stats_anc + scale * h
+        else:
+            stats = (lambduh * stats_anc
+                     + (1.0 - lambduh) * S_bar[None, :]
+                     + scale * h)
         loglik = carry.loglik + inp.weight * inp.in_window * _loglik_increment(log_w)
         return PFCarry(particles, log_w, stats, loglik)
 
@@ -141,19 +188,27 @@ def _backward_log_weights(kernel: ParticleKernel, params, particles,
 
 
 def make_poyiadjis_n2_step(kernel: ParticleKernel, stat_fn: StatisticFn,
-                           resampler_name: str = "multinomial"):
+                           resampler_name: str = "multinomial",
+                           resample_mode: str = "gather"):
     """Poyiadjis et al. (2011) O(N^2) smoother step (`pf.py:84-136`).
 
     new_stats[i] = sum_j BW[i,j] * (stats[j] + h(x_j, x'_i)); the stats term
     is a dense [N,N]@[N,H] matmul on the MXU, the pairwise-h term a
     contraction over a vmapped [N,N,H] statistic tensor.
     """
+    if resample_mode == "auto":
+        resample_mode = default_mode()
     resampler = get_resampler(resampler_name)
 
     def step(params, carry: PFCarry, inp: PFStepInput) -> PFCarry:
-        parents, particles, log_w, _ = _propagate(
-            kernel, resampler, params, inp.key, carry.particles,
-            carry.log_weights, inp.y)
+        if resample_mode == "gather":
+            parents, particles, log_w, _ = _propagate(
+                kernel, resampler, params, inp.key, carry.particles,
+                carry.log_weights, inp.y)
+        else:
+            parents, particles, log_w, _ = _propagate_apply(
+                kernel, resampler_name, resample_mode, params, inp.key,
+                carry.particles, carry.log_weights, None, inp.y)
         log_bw = _backward_log_weights(kernel, params, carry.particles,
                                        carry.log_weights, particles)
         bw = jax.nn.softmax(log_bw, axis=-1)                     # [N, N]
@@ -179,20 +234,28 @@ def make_poyiadjis_n2_step(kernel: ParticleKernel, stat_fn: StatisticFn,
 
 def make_paris_step(kernel: ParticleKernel, stat_fn: StatisticFn,
                     n_tilde: int = 2,
-                    resampler_name: str = "multinomial"):
+                    resampler_name: str = "multinomial",
+                    resample_mode: str = "gather"):
     """PaRIS (Olsson & Westerborn) step with exact backward sampling.
 
     Draws ``n_tilde`` backward indices per particle directly from the
     normalized backward weights (`pf.py:226-237` "naive" mode, which the
     accept-reject Algorithm 3 merely approximates in O(N*K) CPU time).
     """
+    if resample_mode == "auto":
+        resample_mode = default_mode()
     resampler = get_resampler(resampler_name)
 
     def step(params, carry: PFCarry, inp: PFStepInput) -> PFCarry:
         key_prop, key_bs = jax.random.split(inp.key)
-        parents, particles, log_w, _ = _propagate(
-            kernel, resampler, params, key_prop, carry.particles,
-            carry.log_weights, inp.y)
+        if resample_mode == "gather":
+            parents, particles, log_w, _ = _propagate(
+                kernel, resampler, params, key_prop, carry.particles,
+                carry.log_weights, inp.y)
+        else:
+            parents, particles, log_w, _ = _propagate_apply(
+                kernel, resampler_name, resample_mode, params, key_prop,
+                carry.particles, carry.log_weights, None, inp.y)
         log_bw = _backward_log_weights(kernel, params, carry.particles,
                                        carry.log_weights, particles)  # [N, N]
         n = particles.shape[0]
@@ -220,16 +283,22 @@ def make_paris_step(kernel: ParticleKernel, stat_fn: StatisticFn,
 def make_smoother_step(name: str, kernel: ParticleKernel, stat_fn: StatisticFn,
                        resampler_name: str = "multinomial",
                        lambduh: float = 0.95, n_tilde: int = 2,
-                       logsumexp_mode: bool = False):
+                       logsumexp_mode: bool = False,
+                       resample_mode: str = "gather"):
     """Dispatch by smoother name (`buffered_smoother.py:156-199`)."""
     if name == "filter":
-        return make_filter_step(kernel, stat_fn, resampler_name, logsumexp_mode)
+        return make_filter_step(kernel, stat_fn, resampler_name,
+                                logsumexp_mode, resample_mode)
     if name == "nemeth":
-        return make_nemeth_step(kernel, stat_fn, lambduh, resampler_name)
+        return make_nemeth_step(kernel, stat_fn, lambduh, resampler_name,
+                                resample_mode)
     if name == "poyiadjis_N":
-        return make_nemeth_step(kernel, stat_fn, 1.0, resampler_name)
+        return make_nemeth_step(kernel, stat_fn, 1.0, resampler_name,
+                                resample_mode)
     if name == "poyiadjis_N2":
-        return make_poyiadjis_n2_step(kernel, stat_fn, resampler_name)
+        return make_poyiadjis_n2_step(kernel, stat_fn, resampler_name,
+                                      resample_mode)
     if name == "paris":
-        return make_paris_step(kernel, stat_fn, n_tilde, resampler_name)
+        return make_paris_step(kernel, stat_fn, n_tilde, resampler_name,
+                               resample_mode)
     raise ValueError(f"Unrecognized pf = '{name}'")
