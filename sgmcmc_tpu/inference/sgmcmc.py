@@ -18,7 +18,8 @@ import jax.numpy as jnp
 
 from ..models.base import ParticleKernel, StatisticFn
 from ..ops.buffered import run_buffered_pf, window_weights
-from ..ops.subsequence import sample_buffered_window, window_length
+from ..ops.subsequence import (sample_buffered_window, sample_subsequence,
+                               window_length)
 
 Params = Any
 GradFn = Callable[..., tuple[Params, jax.Array]]
@@ -120,6 +121,47 @@ def make_pf_score_fn(kernel: ParticleKernel, stat_fn: StatisticFn,
             lambda k: one_window(k, params, observations))(keys)
         mean_stat = jnp.mean(stats, axis=0)
         return unpack(mean_stat), jnp.mean(logliks)
+
+    return score_fn
+
+
+def make_marginal_score_fn(windowed_gradient_fn, config: PFScoreConfig,
+                           T: int, S_cap: int | None = None):
+    """Buffered *exact-message* score estimator (kind='marginal').
+
+    ``windowed_gradient_fn(params, window, valid, weights) ->
+    (grad_tree, loglik)`` computes boundary messages over the [B | S | B]
+    window's buffers and the weighted gradient over the center — see
+    `lgssm.windowed_marginal_gradient`.  The window is rolled so the
+    subsequence always occupies the static center slice; edge clipping is
+    expressed through the validity mask (matching the reference's
+    truncated buffers, `sgmcmc_sampler.py:259-288`).
+    """
+    S = config.subsequence_length
+    full = (S == -1) or (S >= T)
+    B = 0 if full else max(config.buffer_length, 0)
+    S_eff = T if full else S
+    W = S_eff + 2 * B
+
+    def one_window(key, params, observations):
+        dtype = observations.dtype
+        if full:
+            valid = jnp.ones((T,), dtype)
+            weights = jnp.ones((T,), dtype)
+            return windowed_gradient_fn(params, observations, valid, weights)
+        start, weights = sample_subsequence(key, S, T,
+                                            config.partition_style, dtype)
+        idx = start - B + jnp.arange(W)
+        valid = ((idx >= 0) & (idx < T)).astype(dtype)
+        window = jnp.take(observations, jnp.clip(idx, 0, T - 1), axis=0)
+        return windowed_gradient_fn(params, window, valid, weights)
+
+    def score_fn(key, params, observations):
+        keys = jax.random.split(key, config.minibatch_size)
+        grads, logliks = jax.vmap(
+            lambda k: one_window(k, params, observations))(keys)
+        grad = jax.tree_util.tree_map(lambda g: jnp.mean(g, axis=0), grads)
+        return grad, jnp.mean(logliks)
 
     return score_fn
 

@@ -1,0 +1,368 @@
+"""AR(p) hidden Markov model (ARPHMM), TPU-native.
+
+z_t ~ Markov(pi),   y_t | z_t = k ~ N(D_k [y_{t-1}; ...; y_{t-p}], R_k)
+
+Rewrite of `/root/reference/sgmcmc_ssm/models/arphmm/`.  Observations are
+lag-stacked ([T, p+1, m] with slot 0 the current y — `stack_y`,
+`arphmm/parameters.py:132-151`); exact discrete messages come from
+`sgmcmc_tpu.ops.hmm` and the emission machinery mirrors
+`arphmm/helper.py:231-334`.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from ..ops import hmm
+from ..utils.distributions import sample_wishart, wishart_logpdf
+from ..utils.linalg import (lower_tri_mat_inv, mat_to_tril_vector,
+                            pos_def_mat_inv, tril_vector_to_mat)
+
+_LOG_2PI = float(np.log(2.0 * np.pi))
+
+
+@struct.dataclass
+class ARPHMMParams:
+    """ARPHMM parameter pytree ('logit' pi parameterization)."""
+    logit_pi: jax.Array      # (K, K)
+    D: jax.Array             # (K, m, d) with d = m * p
+    LRinv_vec: jax.Array     # (K, m(m+1)/2)
+
+    @property
+    def num_states(self):
+        return self.logit_pi.shape[0]
+
+    @property
+    def m(self):
+        return self.D.shape[1]
+
+    @property
+    def d(self):
+        return self.D.shape[2]
+
+    @property
+    def p(self):
+        return self.d // self.m
+
+    @property
+    def pi(self):
+        return jax.nn.softmax(self.logit_pi, axis=-1)
+
+    @property
+    def LRinv(self):
+        return tril_vector_to_mat(self.LRinv_vec)
+
+    @property
+    def Rinv(self):
+        L = self.LRinv
+        return L @ jnp.swapaxes(L, -1, -2)
+
+    @property
+    def R(self):
+        return jax.vmap(pos_def_mat_inv)(self.Rinv)
+
+
+def from_values(pi, D, R, dtype=jnp.float64) -> ARPHMMParams:
+    pi = jnp.asarray(pi, dtype)
+    D = jnp.asarray(D, dtype)
+    R = jnp.asarray(R, dtype)
+    if R.ndim == 2:
+        R = R[None].repeat(pi.shape[0], axis=0)
+    LRinv = jnp.linalg.cholesky(jnp.linalg.inv(R))
+    return ARPHMMParams(logit_pi=jnp.log(pi + 1e-99), D=D,
+                        LRinv_vec=jax.vmap(mat_to_tril_vector)(LRinv))
+
+
+def stack_y(y: jax.Array, p: int) -> jax.Array:
+    """[T+p, m] -> [T, p+1, m]: slot l of row t is y[p + t - l]
+    (`arphmm/parameters.py:132-151`)."""
+    y = jnp.atleast_2d(y.T).T if y.ndim == 1 else y
+    T = y.shape[0] - p
+    lags = [y[p - l:p - l + T] for l in range(p + 1)]
+    return jnp.stack(lags, axis=1)
+
+
+def emission_logliks(params: ARPHMMParams, observations) -> jax.Array:
+    """logP [T, K] for lag-stacked observations [T, p+1, m]."""
+    y0 = observations[:, 0, :]                               # [T, m]
+    y_prev = observations[:, 1:, :].reshape(observations.shape[0], -1)
+    mean = jnp.einsum('kmd,td->tkm', params.D, y_prev)       # [T, K, m]
+    diff = y0[:, None, :] - mean
+    LR = params.LRinv
+    z = jnp.einsum('tkm,kmn->tkn', diff, LR)
+    half_logdet = jnp.sum(jnp.log(jnp.abs(
+        jnp.diagonal(LR, axis1=-2, axis2=-1))), axis=-1)
+    return (-0.5 * params.m * _LOG_2PI + half_logdet[None, :]
+            - 0.5 * jnp.sum(z * z, axis=-1))
+
+
+def default_forward_message(params, dtype=None):
+    return hmm.default_forward_message(params.num_states,
+                                       dtype or params.D.dtype)
+
+
+def default_backward_message(params, dtype=None):
+    return hmm.default_backward_message(params.num_states,
+                                        dtype or params.D.dtype)
+
+
+def marginal_loglikelihood(params, observations, forward_msg=None,
+                           backward_msg=None, weights=None):
+    logP = emission_logliks(params, observations)
+    if forward_msg is None:
+        forward_msg = default_forward_message(params)
+    if backward_msg is None:
+        backward_msg = default_backward_message(params)
+    return hmm.marginal_loglikelihood(logP, params.pi, forward_msg,
+                                      backward_msg, weights)
+
+
+def gradient_marginal_loglikelihood(params, observations, forward_msg=None,
+                                    backward_msg=None, weights=None,
+                                    use_scir: bool = False) -> ARPHMMParams:
+    """Exact gradient (`arphmm/helper.py:258-334`), vectorized over t."""
+    T = observations.shape[0]
+    dtype = observations.dtype
+    if weights is None:
+        weights = jnp.ones((T,), dtype)
+    if forward_msg is None:
+        forward_msg = default_forward_message(params)
+    if backward_msg is None:
+        backward_msg = default_backward_message(params)
+
+    logP = emission_logliks(params, observations)
+    joint, marg = hmm.posterior_marginals(logP, params.pi, forward_msg,
+                                          backward_msg)
+    joint_sum = jnp.einsum('t,tij->ij', weights, joint)
+    g_pi = joint_sum if use_scir else hmm.grad_logit_pi(joint_sum, params.pi)
+
+    w_marg = weights[:, None] * marg
+    y0 = observations[:, 0, :]
+    y_prev = observations[:, 1:, :].reshape(T, -1)
+    mean = jnp.einsum('kmd,td->tkm', params.D, y_prev)
+    diff = y0[:, None, :] - mean                             # [T, K, m]
+    Rinv = params.Rinv
+    g_D = jnp.einsum('kmn,tkn,td,tk->kmd', Rinv, diff, y_prev, w_marg)
+
+    R, LR = params.R, params.LRinv
+    sum_marg = jnp.sum(w_marg, axis=0)
+    outer = jnp.einsum('tkm,tkn,tk->kmn', diff, diff, w_marg)
+    g_LR = (sum_marg[:, None, None] * R - outer) @ LR
+    return ARPHMMParams(logit_pi=g_pi, D=g_D,
+                        LRinv_vec=jax.vmap(mat_to_tril_vector)(g_LR))
+
+
+def predictive_loglikelihood(params, observations, lag=1, forward_msg=None):
+    logP = emission_logliks(params, observations)
+    if forward_msg is None:
+        forward_msg = default_forward_message(params)
+    return hmm.predictive_loglikelihood(logP, params.pi, forward_msg, lag)
+
+
+def windowed_marginal_gradient(params: ARPHMMParams, window, valid,
+                               weights, B: int, S: int,
+                               use_scir: bool = False):
+    """Buffered exact-gradient estimator over a [B | S | B] window with
+    edge-validity masking (see `lgssm.windowed_marginal_gradient`)."""
+    logP = emission_logliks(params, window)
+    fwd0 = default_forward_message(params)
+    bwd0 = default_backward_message(params)
+    if B:
+        f = hmm.forward_messages(logP[:B], params.pi, fwd0, valid=valid[:B])
+        fwd = hmm.HMMMessage(f.prob[-1], f.log_constant[-1])
+        b = hmm.backward_messages(logP[B + S:], params.pi, bwd0,
+                                  valid=valid[B + S:])
+        bwd = hmm.HMMMessage(b.prob[0], b.log_constant[0])
+    else:
+        fwd, bwd = fwd0, bwd0
+    sub = window[B:B + S]
+    grad = gradient_marginal_loglikelihood(params, sub, fwd, bwd, weights,
+                                           use_scir=use_scir)
+    loglik = hmm.marginal_loglikelihood(logP[B:B + S], params.pi, fwd, bwd,
+                                        weights)
+    return grad, loglik
+
+
+def latent_var_distr(params, observations, forward_msg=None,
+                     backward_msg=None):
+    logP = emission_logliks(params, observations)
+    if forward_msg is None:
+        forward_msg = default_forward_message(params)
+    if backward_msg is None:
+        backward_msg = default_backward_message(params)
+    return hmm.latent_var_distr(logP, params.pi, forward_msg, backward_msg)
+
+
+def latent_var_sample(params, key, observations, forward_msg=None,
+                      backward_msg=None):
+    logP = emission_logliks(params, observations)
+    if forward_msg is None:
+        forward_msg = default_forward_message(params)
+    if backward_msg is None:
+        backward_msg = default_backward_message(params)
+    return hmm.latent_var_sample(key, logP, params.pi, forward_msg,
+                                 backward_msg)
+
+
+# --------------------------------------------------------------------------
+# Prior / projection / preconditioner (same helper structure as GaussHMM)
+# --------------------------------------------------------------------------
+
+@struct.dataclass
+class ARPHMMPrior:
+    alpha_pi: jax.Array      # (K, K)
+    mean_D: jax.Array        # (K, m, d)
+    var_col_D: jax.Array     # (K, d)
+    scale_Rinv: jax.Array    # (K, m, m)
+    df_Rinv: jax.Array       # ()
+
+
+def default_prior(num_states: int, m: int, d: int, var: float = 100.0,
+                  dtype=jnp.float64) -> ARPHMMPrior:
+    df = m + 1.0 + 1.0 / var
+    return ARPHMMPrior(
+        alpha_pi=jnp.full((num_states, num_states), 1.0 / var, dtype),
+        mean_D=jnp.zeros((num_states, m, d), dtype),
+        var_col_D=jnp.full((num_states, d), var, dtype),
+        scale_Rinv=jnp.tile(jnp.eye(m, dtype=dtype) / df,
+                            (num_states, 1, 1)),
+        df_Rinv=jnp.asarray(df, dtype),
+    )
+
+
+def logprior(prior: ARPHMMPrior, params: ARPHMMParams) -> jax.Array:
+    pi = params.pi
+    a = prior.alpha_pi
+    lp = jnp.sum((a - 1.0) * jnp.log(pi + 1e-16))
+    lp += jnp.sum(jax.scipy.special.gammaln(jnp.sum(a, -1))
+                  - jnp.sum(jax.scipy.special.gammaln(a), -1))
+    lp += jnp.sum(jax.vmap(wishart_logpdf, in_axes=(0, None, 0))(
+        params.Rinv, prior.df_Rinv, prior.scale_Rinv))
+    diff = params.D - prior.mean_D
+    Rinv = params.Rinv
+    quad = jnp.einsum('kmd,kmn,knd,kd->', diff, Rinv, diff,
+                      1.0 / prior.var_col_D)
+    LR = params.LRinv
+    half_logdet = jnp.sum(jnp.log(jnp.abs(
+        jnp.diagonal(LR, axis1=-2, axis2=-1))), axis=-1)
+    d = params.d
+    lp += jnp.sum(d * half_logdet
+                  - 0.5 * params.m * jnp.sum(jnp.log(prior.var_col_D), -1)
+                  - 0.5 * params.m * d * _LOG_2PI / params.m) - 0.5 * quad
+    return lp
+
+
+def grad_logprior(prior: ARPHMMPrior, params: ARPHMMParams,
+                  use_scir: bool = False) -> ARPHMMParams:
+    g_pi = prior.alpha_pi if use_scir else hmm.dirichlet_grad_logit_pi(
+        prior.alpha_pi, params.pi)
+    Rinv = params.Rinv
+    g_D = -jnp.einsum('kmn,knd->kmd', Rinv, params.D - prior.mean_D
+                      ) / prior.var_col_D[:, None, :]
+    m = params.m
+
+    def cov_grad(LR_k, scale_k):
+        return ((prior.df_Rinv - m - 1) * lower_tri_mat_inv(LR_k).T
+                - jnp.linalg.solve(scale_k, LR_k))
+
+    g_LR = jax.vmap(cov_grad)(params.LRinv, prior.scale_Rinv)
+    return ARPHMMParams(logit_pi=g_pi, D=g_D,
+                        LRinv_vec=jax.vmap(mat_to_tril_vector)(g_LR))
+
+
+def sample_prior(prior: ARPHMMPrior, key) -> ARPHMMParams:
+    K, m, d = prior.mean_D.shape
+    dtype = prior.mean_D.dtype
+    kp, kr, kd = jax.random.split(key, 3)
+    g = jax.random.gamma(kp, prior.alpha_pi, dtype=dtype)
+    pi = g / jnp.sum(g, axis=-1, keepdims=True)
+    Rinv = jax.vmap(sample_wishart, in_axes=(0, None, 0))(
+        jax.random.split(kr, K), prior.df_Rinv, prior.scale_Rinv)
+    LRinv = jnp.linalg.cholesky(Rinv)
+    z = jax.random.normal(kd, (K, m, d), dtype)
+    noise = jax.vmap(lambda L, zz: jax.scipy.linalg.solve_triangular(
+        L.T, zz, lower=False))(LRinv, z)
+    D = prior.mean_D + noise * jnp.sqrt(prior.var_col_D)[:, None, :]
+    return ARPHMMParams(logit_pi=jnp.log(pi + 1e-99), D=D,
+                        LRinv_vec=jax.vmap(mat_to_tril_vector)(LRinv))
+
+
+def project_parameters(params: ARPHMMParams, d_threshold: float = 0.9999,
+                       center_logit: bool = True) -> ARPHMMParams:
+    from ..utils.linalg import spectral_norm_projection
+    logit_pi = params.logit_pi
+    if center_logit:
+        logit_pi = logit_pi - jnp.mean(logit_pi, axis=1, keepdims=True)
+    D = jax.vmap(lambda Dk: spectral_norm_projection(Dk, d_threshold))(
+        params.D)
+    LR = params.LRinv
+    idx = jnp.arange(LR.shape[-1])
+    LR = LR.at[:, idx, idx].set(jnp.abs(LR[:, idx, idx]))
+    return ARPHMMParams(logit_pi=logit_pi, D=D,
+                        LRinv_vec=jax.vmap(mat_to_tril_vector)(LR))
+
+
+def precondition(params: ARPHMMParams, grad: ARPHMMParams) -> ARPHMMParams:
+    R, Rinv = params.R, params.Rinv
+    g_LR = tril_vector_to_mat(grad.LRinv_vec)
+    return ARPHMMParams(
+        logit_pi=grad.logit_pi,
+        D=jnp.einsum('kmn,knd->kmd', R, grad.D),
+        LRinv_vec=jax.vmap(mat_to_tril_vector)(0.5 * Rinv @ g_LR),
+    )
+
+
+def precondition_noise(params: ARPHMMParams, key) -> ARPHMMParams:
+    K, m, d = params.D.shape
+    dtype = params.D.dtype
+    kp, kd, kr = jax.random.split(key, 3)
+    LR = params.LRinv
+    z_D = jax.random.normal(kd, (K, m, d), dtype)
+    noise_D = jax.vmap(lambda L, z: jax.scipy.linalg.solve_triangular(
+        L.T, z, lower=False))(LR, z_D)
+    z_R = jax.random.normal(kr, (K, m, m), dtype)
+    return ARPHMMParams(
+        logit_pi=jax.random.normal(kp, params.logit_pi.shape, dtype),
+        D=noise_D,
+        LRinv_vec=jax.vmap(mat_to_tril_vector)(jnp.sqrt(0.5) * LR @ z_R),
+    )
+
+
+def correction_term(params: ARPHMMParams) -> ARPHMMParams:
+    m = params.m
+    return ARPHMMParams(
+        logit_pi=jnp.zeros_like(params.logit_pi),
+        D=jnp.zeros_like(params.D),
+        LRinv_vec=0.5 * (m + 1) * params.LRinv_vec,
+    )
+
+
+# --------------------------------------------------------------------------
+# Data generation
+# --------------------------------------------------------------------------
+
+def generate_data(key, params: ARPHMMParams, T: int):
+    """Simulate; returns lag-stacked observations [T, p+1, m] and z [T]."""
+    K, m, d = params.D.shape
+    p = params.p
+    dtype = params.D.dtype
+    kz, ky, k0 = jax.random.split(key, 3)
+    LR_chol = jnp.linalg.cholesky(params.R)
+    z_keys = jax.random.split(kz, T + p)
+    noise = jax.random.normal(ky, (T + p, m), dtype)
+    log_pi = jnp.log(params.pi + 1e-99)
+    z0 = jax.random.categorical(k0, jnp.zeros((K,), dtype))
+
+    def body(carry, inp):
+        z_prev, y_hist = carry          # y_hist [p, m], newest first
+        k, eps = inp
+        z = jax.random.categorical(k, log_pi[z_prev])
+        y = params.D[z] @ y_hist.reshape(-1) + LR_chol[z] @ eps
+        y_hist = jnp.concatenate([y[None], y_hist[:-1]], axis=0)
+        return (z, y_hist), (z, y)
+
+    init_hist = jnp.zeros((p, m), dtype)
+    _, (zs, ys) = jax.lax.scan(body, (z0, init_hist), (z_keys, noise))
+    return stack_y(ys, p), zs[p:]

@@ -142,6 +142,30 @@ def latent_var_sample(params: LGSSMParams, key, observations,
                               num_samples)
 
 
+def windowed_marginal_gradient(params: LGSSMParams, window, valid, weights,
+                               B: int, S: int):
+    """Buffered exact-gradient estimator over one fixed-shape window.
+
+    ``window`` is [B | S | B] rows with ``valid`` masking edge clipping —
+    the jittable equivalent of `_single_noisy_grad_loglikelihood`
+    kind='marginal' (`sgmcmc_sampler.py:298-329`): boundary messages run
+    over the buffers from the default messages; the weighted gradient and
+    marginal loglikelihood are over the central subsequence.
+    """
+    fwd0 = default_forward_message(params)
+    bwd0 = default_backward_message(params)
+    fwd = kalman.forward_message(window[:B], params.A, params.C,
+                                 params.LQinv, params.LRinv, fwd0,
+                                 valid=valid[:B]) if B else fwd0
+    bwd = kalman.backward_message(window[B + S:], params.A, params.C,
+                                  params.LQinv, params.LRinv, bwd0,
+                                  valid=valid[B + S:]) if B else bwd0
+    sub = window[B:B + S]
+    grad = gradient_marginal_loglikelihood(params, sub, fwd, bwd, weights)
+    loglik = marginal_loglikelihood(params, sub, fwd, bwd, weights)
+    return grad, loglik
+
+
 def complete_data_loglikelihood(params: LGSSMParams, observations,
                                 latent_vars, x_prev=None, weights=None):
     """log p(y, x | theta) (`lgssm/helper.py:235-266`), vectorized over t."""

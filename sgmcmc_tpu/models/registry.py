@@ -11,7 +11,9 @@ from typing import Any, Callable
 
 import jax.numpy as jnp
 
+from . import arphmm as arphmm_mod
 from . import garch as garch_mod
+from . import gauss_hmm as gauss_hmm_mod
 from . import lgssm as lgssm_mod
 from . import svm as svm_mod
 
@@ -32,10 +34,15 @@ class ModelAPI:
     project_parameters: Callable
     generate_data: Callable      # (key, params, T) -> (ys, xs)
     prior_mean_var: Callable     # params -> (prior_mean, prior_var) for x0
-    # optional exact oracle (LGSSM only)
+    # optional exact-message oracle (LGSSM / HMM family)
     has_exact: bool = False
     marginal_loglikelihood: Callable | None = None
     gradient_marginal_loglikelihood: Callable | None = None
+    windowed_marginal_gradient: Callable | None = None
+    latent_var_sample: Callable | None = None
+    gibbs_step: Callable | None = None
+    # PF support (None for purely discrete models)
+    has_pf: bool = True
     # optional SGRLD preconditioner triple
     precondition: Callable | None = None
     precondition_noise: Callable | None = None
@@ -102,6 +109,9 @@ def _lgssm_api(n: int = 1, m: int = 1) -> ModelAPI:
         marginal_loglikelihood=lgssm_mod.marginal_loglikelihood,
         gradient_marginal_loglikelihood=
         lgssm_mod.gradient_marginal_loglikelihood,
+        windowed_marginal_gradient=lgssm_mod.windowed_marginal_gradient,
+        latent_var_sample=lgssm_mod.latent_var_sample,
+        gibbs_step=lgssm_mod.gibbs_step,
         precondition=lgssm_mod.precondition,
         precondition_noise=lgssm_mod.precondition_noise,
         correction_term=lgssm_mod.correction_term,
@@ -109,6 +119,67 @@ def _lgssm_api(n: int = 1, m: int = 1) -> ModelAPI:
 
 
 LGSSM = _lgssm_api(1, 1)
+
+
+def _hmm_dummy_kernel(*a, **k):
+    raise NotImplementedError("discrete-state models have no particle filter")
+
+
+def _gauss_hmm_api(num_states: int = 2, m: int = 1) -> ModelAPI:
+    return ModelAPI(
+        name=f"gauss_hmm_{num_states}_{m}",
+        get_kernel=_hmm_dummy_kernel,
+        grad_statistic=None, suff_statistic=None,
+        grad_statistic_dim=0, suff_statistic_dim=0,
+        unpack_grad=None,
+        default_prior=lambda **kw: gauss_hmm_mod.default_prior(
+            num_states, m, **kw),
+        logprior=gauss_hmm_mod.logprior,
+        grad_logprior=gauss_hmm_mod.grad_logprior,
+        sample_prior=gauss_hmm_mod.sample_prior,
+        project_parameters=gauss_hmm_mod.project_parameters,
+        generate_data=gauss_hmm_mod.generate_data,
+        prior_mean_var=lambda p: (0.0, 1.0),
+        has_exact=True,
+        marginal_loglikelihood=gauss_hmm_mod.marginal_loglikelihood,
+        gradient_marginal_loglikelihood=
+        gauss_hmm_mod.gradient_marginal_loglikelihood,
+        windowed_marginal_gradient=gauss_hmm_mod.windowed_marginal_gradient,
+        latent_var_sample=gauss_hmm_mod.latent_var_sample,
+        gibbs_step=gauss_hmm_mod.gibbs_step,
+        precondition=gauss_hmm_mod.precondition,
+        precondition_noise=gauss_hmm_mod.precondition_noise,
+        correction_term=gauss_hmm_mod.correction_term,
+        has_pf=False,
+    )
+
+
+def _arphmm_api(num_states: int = 2, m: int = 1, p: int = 1) -> ModelAPI:
+    return ModelAPI(
+        name=f"arphmm_{num_states}_{m}_{p}",
+        get_kernel=_hmm_dummy_kernel,
+        grad_statistic=None, suff_statistic=None,
+        grad_statistic_dim=0, suff_statistic_dim=0,
+        unpack_grad=None,
+        default_prior=lambda **kw: arphmm_mod.default_prior(
+            num_states, m, m * p, **kw),
+        logprior=arphmm_mod.logprior,
+        grad_logprior=arphmm_mod.grad_logprior,
+        sample_prior=arphmm_mod.sample_prior,
+        project_parameters=arphmm_mod.project_parameters,
+        generate_data=arphmm_mod.generate_data,
+        prior_mean_var=lambda p_: (0.0, 1.0),
+        has_exact=True,
+        marginal_loglikelihood=arphmm_mod.marginal_loglikelihood,
+        gradient_marginal_loglikelihood=
+        arphmm_mod.gradient_marginal_loglikelihood,
+        windowed_marginal_gradient=arphmm_mod.windowed_marginal_gradient,
+        latent_var_sample=arphmm_mod.latent_var_sample,
+        precondition=arphmm_mod.precondition,
+        precondition_noise=arphmm_mod.precondition_noise,
+        correction_term=arphmm_mod.correction_term,
+        has_pf=False,
+    )
 
 
 def get_model(name: str, **kwargs) -> ModelAPI:
@@ -120,4 +191,8 @@ def get_model(name: str, **kwargs) -> ModelAPI:
         if kwargs:
             return _lgssm_api(**kwargs)
         return LGSSM
+    if name == "gauss_hmm":
+        return _gauss_hmm_api(**kwargs)
+    if name == "arphmm":
+        return _arphmm_api(**kwargs)
     raise ValueError(f"Unknown model '{name}'")

@@ -1,0 +1,212 @@
+"""Discrete-state (HMM) message passing as `lax.scan`.
+
+Rewrite of the reference's `HMMHelper` recursions
+(`/root/reference/sgmcmc_ssm/models/hmm_helper.py:36-300`): forward/backward
+normalized probability messages with weighted log-constants, the marginal
+likelihood, posterior marginals/pairwise marginals for the gradient, FFBS
+latent sampling, and predictive likelihood.  All functions take the
+per-step emission log-likelihood matrix ``logP [T, K]`` (model-agnostic).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class HMMMessage(NamedTuple):
+    prob: jax.Array           # [K] (forward: filtered probs;
+    #                           backward: normalized likelihood vector)
+    log_constant: jax.Array   # scalar
+
+
+def default_forward_message(K: int, dtype=jnp.float64) -> HMMMessage:
+    return HMMMessage(jnp.full((K,), 1.0 / K, dtype), jnp.zeros((), dtype))
+
+
+def default_backward_message(K: int, dtype=jnp.float64) -> HMMMessage:
+    return HMMMessage(jnp.full((K,), 1.0 / K, dtype),
+                      jnp.log(jnp.asarray(float(K), dtype)))
+
+
+def forward_messages(logP: jax.Array, Pi: jax.Array,
+                     init: HMMMessage, weights=None, valid=None):
+    """All filtered messages; leading axis T+1 (element 0 = init).
+
+    Matches `_forward_messages` (`hmm_helper.py:36-74`).  ``valid`` gates
+    steps (invalid steps pass the message through unchanged).
+    """
+    T, K = logP.shape
+    dtype = logP.dtype
+    if weights is None:
+        weights = jnp.ones((T,), dtype)
+    if valid is None:
+        valid = jnp.ones((T,), dtype)
+
+    def step(prob, inp):
+        logP_t, w, v = inp
+        m = jnp.max(logP_t)
+        P_t = jnp.exp(logP_t - m)
+        p = (prob @ Pi) * P_t
+        s = jnp.sum(p)
+        log_c = v * w * (m + jnp.log(s))
+        p = v * (p / s) + (1.0 - v) * prob
+        return p, (p, log_c)
+
+    _, (probs, log_cs) = jax.lax.scan(step, init.prob,
+                                      (logP, weights, valid))
+    log_constants = init.log_constant + jnp.concatenate(
+        [jnp.zeros((1,), dtype), jnp.cumsum(log_cs)])
+    probs = jnp.concatenate([init.prob[None], probs])
+    return HMMMessage(probs, log_constants)
+
+
+def backward_messages(logP: jax.Array, Pi: jax.Array,
+                      init: HMMMessage, weights=None, valid=None):
+    """All backward messages; element [t] has consumed y_t..y_{T-1}
+    (`hmm_helper.py:76-115`)."""
+    T, K = logP.shape
+    dtype = logP.dtype
+    if weights is None:
+        weights = jnp.ones((T,), dtype)
+    if valid is None:
+        valid = jnp.ones((T,), dtype)
+
+    def step(prob, inp):
+        logP_t, w, v = inp
+        m = jnp.max(logP_t)
+        P_t = jnp.exp(logP_t - m)
+        p = Pi @ (P_t * prob)
+        s = jnp.sum(p)
+        log_c = v * w * (m + jnp.log(s))
+        p = v * (p / s) + (1.0 - v) * prob
+        return p, (p, log_c)
+
+    _, (probs, log_cs) = jax.lax.scan(step, init.prob,
+                                      (logP[::-1], weights[::-1],
+                                       valid[::-1]))
+    log_constants = init.log_constant + jnp.concatenate(
+        [jnp.cumsum(log_cs)[::-1], jnp.zeros((1,), dtype)])
+    probs = jnp.concatenate([probs[::-1], init.prob[None]])
+    return HMMMessage(probs, log_constants)
+
+
+def marginal_loglikelihood(logP, Pi, forward_msg: HMMMessage,
+                           backward_msg: HMMMessage, weights=None):
+    """`marginal_loglikelihood` (`hmm_helper.py:117-142`)."""
+    fwd = forward_messages(logP, Pi, forward_msg, weights)
+    last = HMMMessage(fwd.prob[-1], fwd.log_constant[-1])
+    lik = last.prob @ backward_msg.prob
+    w_last = 1.0 if weights is None else weights[-1]
+    return last.log_constant + w_last * (jnp.log(lik)
+                                         + backward_msg.log_constant)
+
+
+def posterior_marginals(logP, Pi, forward_msg, backward_msg):
+    """Pairwise and singleton smoothed posteriors for every t.
+
+    joint[t] = Pr(z_{t-1}, z_t | y) (normalized [K, K]),
+    marg[t] = Pr(z_t | y) [K] — the quantities driving the gradient
+    (`gauss_hmm/helper.py:175-195`).
+    """
+    fwd = forward_messages(logP, Pi, forward_msg)
+    bwd = backward_messages(logP, Pi, backward_msg)
+    r = fwd.prob[:-1]                                  # [T, K]
+    q = bwd.prob[1:]                                   # [T, K]
+    m = jnp.max(logP, axis=-1, keepdims=True)
+    P = jnp.exp(logP - m)                              # [T, K]
+    joint = r[:, :, None] * Pi[None, :, :] * (P * q)[:, None, :]
+    joint = joint / jnp.sum(joint, axis=(1, 2), keepdims=True)
+    marg = jnp.sum(joint, axis=1)                      # [T, K]
+    return joint, marg
+
+
+def latent_var_distr(logP, Pi, forward_msg, backward_msg):
+    """Smoothed Pr(z_t | y) via log-space fusion (`hmm_helper.py:214-224`)."""
+    fwd = forward_messages(logP, Pi, forward_msg)
+    bwd = backward_messages(logP, Pi, backward_msg)
+    logp = jnp.log(fwd.prob[1:] + 1e-300) + jnp.log(bwd.prob[1:] + 1e-300)
+    logp = logp - jnp.max(logp, axis=-1, keepdims=True)
+    p = jnp.exp(logp)
+    return p / jnp.sum(p, axis=-1, keepdims=True)
+
+
+def latent_var_sample(key, logP, Pi, forward_msg, backward_msg):
+    """Joint FFBS sample of z_{0:T-1} (`hmm_helper.py:269-328`), via a
+    forward scan over the backward messages."""
+    T, K = logP.shape
+    bwd = backward_messages(logP, Pi, backward_msg)
+    m = jnp.max(logP, axis=-1, keepdims=True)
+    P = jnp.exp(logP - m)
+
+    keys = jax.random.split(key, T)
+
+    def step(z_prev, inp):
+        k, P_t, q_t, t = inp
+        prior = jnp.where(t == 0, forward_msg.prob @ Pi, Pi[z_prev])
+        post = prior * P_t * q_t
+        z = jax.random.categorical(k, jnp.log(post + 1e-300)).astype(
+            jnp.int32)
+        return z, z
+
+    _, zs = jax.lax.scan(step, jnp.zeros((), jnp.int32),
+                         (keys, P, bwd.prob[1:],
+                          jnp.arange(T, dtype=jnp.int32)))
+    return zs
+
+
+def predictive_loglikelihood(logP, Pi, forward_msg, lag: int = 1):
+    """Sum_t log p(y_t | y_{<=t-lag}) (`hmm_helper.py:144-174`)."""
+    T, K = logP.shape
+    obs_f = logP if lag == 0 else logP[:T - lag]
+    fwd = forward_messages(obs_f, Pi, forward_msg)
+    prob = fwd.prob[1:]
+    Pi_lag = jnp.linalg.matrix_power(Pi, lag) if lag > 0 else jnp.eye(
+        K, dtype=Pi.dtype)
+    pred = prob @ Pi_lag                               # [T', K]
+    m = jnp.max(logP, axis=-1)
+    P = jnp.exp(logP - m[:, None])
+    if lag == 0:
+        lik = jnp.sum(pred * P, axis=-1)
+        return jnp.sum(jnp.log(lik) + m)
+    lik = jnp.sum(pred * P[lag:], axis=-1)
+    return jnp.sum(jnp.log(lik) + m[lag:])
+
+
+def grad_logit_pi(joint_sum: jax.Array, Pi: jax.Array) -> jax.Array:
+    """Gradient of the marginal loglik wrt logit_pi given summed pairwise
+    posteriors (`gauss_hmm/helper.py:206-210`):
+    grad = sum_t joint_t - diag(row-sums) Pi."""
+    return joint_sum - jnp.diag(jnp.sum(joint_sum, axis=1)) @ Pi
+
+
+def dirichlet_grad_logit_pi(alpha: jax.Array, pi: jax.Array) -> jax.Array:
+    """Dirichlet prior score in logit coordinates
+    (`probweight.py:448-462`): (alpha-1) - pi * rowsum(alpha-1)."""
+    a1 = alpha - 1.0
+    return a1 - pi * jnp.sum(a1, axis=-1, keepdims=True)
+
+
+def sample_noncentral_chi2(key, df, nonc, dtype=jnp.float64):
+    """NoncentralChi2(df, nonc) via the Poisson-mixture representation:
+    X ~ chi2(df + 2 J), J ~ Poisson(nonc / 2) — jittable replacement for
+    `np.random.noncentral_chisquare` (`hmm_helper.py:428-431`)."""
+    k1, k2 = jax.random.split(key)
+    J = jax.random.poisson(k1, nonc / 2.0)
+    shape = (df + 2.0 * J.astype(dtype)) / 2.0
+    return 2.0 * jax.random.gamma(k2, shape, dtype=dtype)
+
+
+def scir_update(key, theta: jax.Array, a: jax.Array, epsilon: float):
+    """Stochastic Cox-Ingersoll-Ross exact Gamma-process update for
+    simplex variables (Baker et al. 2018; `hmm_helper.py:406-442`):
+
+    W ~ NoncentralChi2(2 a, 2 theta e^-eps / (1 - e^-eps)),
+    theta' = (1 - e^-eps) W / 2.
+    """
+    decay = jnp.exp(-epsilon)
+    W = sample_noncentral_chi2(key, 2.0 * a,
+                               2.0 * theta * decay / (1.0 - decay),
+                               theta.dtype)
+    return 0.5 * (1.0 - decay) * W + 1e-99

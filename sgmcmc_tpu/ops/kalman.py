@@ -53,12 +53,14 @@ def _mats(A, C, LQinv, LRinv):
 
 def forward_messages(observations, A, C, LQinv, LRinv,
                      forward_message: GaussianMessage,
-                     weights=None):
+                     weights=None, valid=None):
     """All filtered messages p(x_t | y_{<=t}) for t = -1..T-1.
 
     Returns a GaussianMessage pytree with leading axis T+1 (element 0 is the
     input message), matching `_forward_messages`
-    (`lgssm/helper.py:53-122`).
+    (`lgssm/helper.py:53-122`).  ``valid`` (float {0,1} per step) gates the
+    whole update — invalid steps pass the message through unchanged,
+    enabling fixed-shape buffered windows clipped at sequence edges.
     """
     T = observations.shape[0]
     dtype = observations.dtype
@@ -68,10 +70,12 @@ def forward_messages(observations, A, C, LQinv, LRinv,
     m = C.shape[0]
     if weights is None:
         weights = jnp.ones((T,), dtype)
+    if valid is None:
+        valid = jnp.ones((T,), dtype)
 
     def step(carry, inp):
         h, J = carry
-        y, w = inp
+        y, w, v = inp
         # Predict
         K = jnp.linalg.solve(AtQinvA + J, AtQinv)
         h_pred = K.T @ h
@@ -84,13 +88,13 @@ def forward_messages(observations, A, C, LQinv, LRinv,
                  + 0.5 * jnp.linalg.slogdet(y_prec)[1]
                  - 0.5 * m * _LOG_2PI)
         # Update
-        h_new = h_pred + CtRinv @ y
-        J_new = J_pred + CtRinvC
-        return (h_new, J_new), (w * log_c, h_new, J_new)
+        h_new = v * (h_pred + CtRinv @ y) + (1.0 - v) * h
+        J_new = v * (J_pred + CtRinvC) + (1.0 - v) * J
+        return (h_new, J_new), (v * w * log_c, h_new, J_new)
 
     (_, _), (log_cs, hs, Js) = jax.lax.scan(
         step, (forward_message.mean_precision, forward_message.precision),
-        (observations, weights))
+        (observations, weights, valid))
 
     log_constants = forward_message.log_constant + jnp.concatenate(
         [jnp.zeros((1,), dtype), jnp.cumsum(log_cs)])
@@ -100,22 +104,24 @@ def forward_messages(observations, A, C, LQinv, LRinv,
 
 
 def forward_message(observations, A, C, LQinv, LRinv,
-                    forward_message: GaussianMessage, weights=None):
+                    forward_message: GaussianMessage, weights=None,
+                    valid=None):
     """Only the final filtered message (only_return_last=True path)."""
     msgs = forward_messages(observations, A, C, LQinv, LRinv,
-                            forward_message, weights)
+                            forward_message, weights, valid)
     return GaussianMessage(msgs.log_constant[-1], msgs.mean_precision[-1],
                            msgs.precision[-1])
 
 
 def backward_messages(observations, A, C, LQinv, LRinv,
                       backward_message: GaussianMessage,
-                      weights=None):
+                      weights=None, valid=None):
     """All likelihood messages p(y_{>t} | x_t) for t = -1..T-1.
 
     Element [t] conditions on observations t..T-1 (index convention of
     `_backward_messages`, `lgssm/helper.py:124-192`: output [t] has
-    consumed y_t..y_{T-1}; element [T] is the input message).
+    consumed y_t..y_{T-1}; element [T] is the input message).  ``valid``
+    gates steps as in :func:`forward_messages`.
     """
     T = observations.shape[0]
     dtype = observations.dtype
@@ -127,10 +133,12 @@ def backward_messages(observations, A, C, LQinv, LRinv,
     half_logdet_Q = jnp.sum(jnp.log(jnp.abs(jnp.diag(LQinv))))
     if weights is None:
         weights = jnp.ones((T,), dtype)
+    if valid is None:
+        valid = jnp.ones((T,), dtype)
 
     def step(carry, inp):
         h, J = carry
-        y, w = inp
+        y, w, vld = inp
         xi = Qinv + J + CtRinvC
         L = jnp.linalg.solve(xi, AtQinv.T)
         v = h + CtRinv @ y
@@ -138,13 +146,13 @@ def backward_messages(observations, A, C, LQinv, LRinv,
                  - 0.5 * jnp.linalg.slogdet(xi)[1]
                  - 0.5 * y @ (Rinv @ y)
                  + 0.5 * v @ jnp.linalg.solve(xi, v))
-        h_new = L.T @ v
-        J_new = AtQinvA - AtQinv @ L
-        return (h_new, J_new), (w * log_c, h_new, J_new)
+        h_new = vld * (L.T @ v) + (1.0 - vld) * h
+        J_new = vld * (AtQinvA - AtQinv @ L) + (1.0 - vld) * J
+        return (h_new, J_new), (vld * w * log_c, h_new, J_new)
 
     (_, _), (log_cs, hs, Js) = jax.lax.scan(
         step, (backward_message.mean_precision, backward_message.precision),
-        (observations[::-1], weights[::-1]))
+        (observations[::-1], weights[::-1], valid[::-1]))
 
     # outputs are produced in reverse-time order; flip to index by t
     log_constants = backward_message.log_constant + jnp.concatenate(
@@ -155,9 +163,10 @@ def backward_messages(observations, A, C, LQinv, LRinv,
 
 
 def backward_message(observations, A, C, LQinv, LRinv,
-                     backward_message: GaussianMessage, weights=None):
+                     backward_message: GaussianMessage, weights=None,
+                     valid=None):
     msgs = backward_messages(observations, A, C, LQinv, LRinv,
-                             backward_message, weights)
+                             backward_message, weights, valid)
     return GaussianMessage(msgs.log_constant[0], msgs.mean_precision[0],
                            msgs.precision[0])
 
