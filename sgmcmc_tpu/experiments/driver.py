@@ -60,7 +60,14 @@ TRUE_PARAMS = {
 }
 
 
-def _make_true_params(model_name: str, dtype=jnp.float64):
+def _default_dtype():
+    import jax
+    return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+
+
+def _make_true_params(model_name: str, dtype=None):
+    if dtype is None:
+        dtype = _default_dtype()
     if model_name == "svm":
         from ..models import svm
         return svm.from_scalars(**TRUE_PARAMS["svm"], dtype=dtype)

@@ -319,6 +319,75 @@ class Sampler:
         return self.model.generate_data(self.next_key(), p, T)
 
 
+def pack_sequences(sequences):
+    """List of [T_i, m] arrays -> (padded [n_seq, T_max, m], lengths)."""
+    import numpy as np
+    lengths = np.array([s.shape[0] for s in sequences], np.int32)
+    T_max = int(lengths.max())
+    m = sequences[0].shape[1]
+    packed = np.zeros((len(sequences), T_max, m),
+                      dtype=np.asarray(sequences[0]).dtype)
+    for i, s in enumerate(sequences):
+        packed[i, :s.shape[0]] = np.asarray(s)
+    return jnp.asarray(packed), lengths
+
+
+class SeqSampler(Sampler):
+    """Multi-sequence sampler (`SeqSGMCMCSampler`,
+    `sgmcmc_sampler.py:1157-1423`): observations are a list of sequences;
+    each gradient subsamples sequences and subsequences within them."""
+
+    def __init__(self, model, observations: list, num_sequences: int = -1,
+                 **kw):
+        packed, lengths = pack_sequences(observations)
+        self.lengths = lengths
+        self.num_sequences = num_sequences
+        self._sequences = observations
+        super().__init__(model, packed, **kw)
+
+    @property
+    def T(self) -> int:
+        return int(self.lengths.sum())
+
+    def _grad_fn(self, preconditioned: bool = False, is_scaled: bool = True,
+                 kind: str | None = None, **kwargs):
+        m = self.model
+        cfg = self._score_config(**kwargs)
+        kernel_name = kwargs.get("kernel")
+        cache_key = ("seq_grad", cfg, kernel_name, preconditioned,
+                     is_scaled, self.num_sequences)
+        if cache_key not in self._cache:
+            score = sgmcmc.make_seq_pf_score_fn(
+                m.get_kernel(kernel_name), m.grad_statistic,
+                m.grad_statistic_dim, m.unpack_grad, cfg, self.lengths,
+                num_sequences=self.num_sequences,
+                prior_mean_var_fn=m.prior_mean_var)
+            precond = None
+            if preconditioned:
+                precond = sgmcmc.Preconditioner(
+                    m.precondition, m.precondition_noise, m.correction_term)
+            fn = sgmcmc.make_noisy_grad_fn(
+                score, lambda p: m.grad_logprior(self.prior, p), self.T,
+                is_scaled=is_scaled, preconditioner=precond)
+            self._cache[cache_key] = jax.jit(fn)
+        return self._cache[cache_key]
+
+    def noisy_loglikelihood(self, **kwargs) -> float:
+        _, loglik = self._grad_fn(**kwargs)(
+            self.next_key(), self.parameters, self.observations)
+        return float(loglik)
+
+
+class SeqSVMSampler(SeqSampler):
+    def __init__(self, observations, **kw):
+        super().__init__("svm", observations, **kw)
+
+
+class SeqGARCHSampler(SeqSampler):
+    def __init__(self, observations, **kw):
+        super().__init__("garch", observations, **kw)
+
+
 class GibbsSamplerMixin:
     """Blocked Gibbs for conjugate models (LGSSM, GaussHMM)."""
 

@@ -125,6 +125,76 @@ def make_pf_score_fn(kernel: ParticleKernel, stat_fn: StatisticFn,
     return score_fn
 
 
+def make_seq_pf_score_fn(kernel: ParticleKernel, stat_fn: StatisticFn,
+                         statistic_dim: int,
+                         unpack: Callable[[jax.Array], Params],
+                         config: PFScoreConfig, lengths,
+                         num_sequences: int = -1,
+                         prior_mean_var_fn=None):
+    """Multi-sequence buffered PF score (`SeqSGMCMCSampler`,
+    `sgmcmc_sampler.py:1157-1423`).
+
+    Sequences are packed [n_seq, T_max, m] with true ``lengths``; each
+    gradient draws ``num_sequences`` sequences without replacement (-1 =
+    all), runs one buffered subsequence per chosen sequence (per-sequence
+    T_i drives the unbiasedness weights), sums, and rescales by
+    T_total / sum(T_chosen).
+    """
+    lengths = jnp.asarray(lengths, jnp.int32)
+    n_seq = int(lengths.shape[0])
+    T_total = float(jnp.sum(lengths))
+    S = config.subsequence_length
+    if S == -1:
+        raise ValueError("Seq estimator needs a finite subsequence_length")
+    W = S + 2 * config.buffer_length
+    min_len = int(jnp.min(lengths))
+    if W > min_len:
+        raise ValueError(f"window {W} exceeds shortest sequence {min_len}")
+    k_chosen = n_seq if num_sequences == -1 else num_sequences
+
+    def one_sequence(key, params, obs_i, T_i):
+        dtype = obs_i.dtype
+        key_start, key_pf = jax.random.split(key)
+        u = jax.random.uniform(key_start, ())
+        start = jnp.floor(u * (T_i - S + 1)).astype(jnp.int32)
+        t = start + jnp.arange(S)
+        n_cov = jnp.minimum(jnp.minimum(t + 1, S),
+                            jnp.minimum(T_i - S + 1, T_i - t)).astype(dtype)
+        weights = (T_i - S + 1).astype(dtype) / n_cov
+        window_start = jnp.clip(start - config.buffer_length, 0, T_i - W)
+        t1 = start - window_start
+        window = jax.lax.dynamic_slice_in_dim(obs_i, window_start, W, axis=0)
+        step_w, in_win = window_weights(t1, t1 + S, weights, W, dtype)
+        if prior_mean_var_fn is None:
+            pm, pv = jnp.zeros((), dtype), jnp.asarray(10.0, dtype)
+        else:
+            pm, pv = prior_mean_var_fn(params)
+        out = run_buffered_pf(
+            kernel, stat_fn, params, window, key=key_pf,
+            n_particles=config.n_particles, statistic_dim=statistic_dim,
+            smoother=config.smoother, step_weights=step_w, in_window=in_win,
+            prior_mean=pm, prior_var=pv, resampler=config.resampler,
+            resample_mode=config.resample_mode, lambduh=config.lambduh,
+            n_tilde=config.n_tilde)
+        return out.mean_statistic, out.loglikelihood
+
+    def score_fn(key, params, observations):
+        key_seq, key_pf = jax.random.split(key)
+        if num_sequences == -1:
+            idx = jnp.arange(n_seq)
+        else:
+            idx = jax.random.permutation(key_seq, n_seq)[:k_chosen]
+        keys = jax.random.split(key_pf, k_chosen)
+        stats, logliks = jax.vmap(
+            lambda k, i: one_sequence(k, params, observations[i],
+                                      lengths[i]))(keys, idx)
+        scale = T_total / jnp.sum(lengths[idx]).astype(stats.dtype)
+        stat = jnp.sum(stats, axis=0) * scale
+        return unpack(stat), jnp.sum(logliks) * scale
+
+    return score_fn
+
+
 def make_marginal_score_fn(windowed_gradient_fn, config: PFScoreConfig,
                            T: int, S_cap: int | None = None):
     """Buffered *exact-message* score estimator (kind='marginal').

@@ -1,0 +1,104 @@
+"""SLDS: conditional message passing, complete-data score, blocked Gibbs."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sgmcmc_tpu.models import lgssm as lgssm_mod
+from sgmcmc_tpu.models import slds
+
+
+def make_params(K=2, n=1, m=1, seed=0):
+    rng = np.random.default_rng(seed)
+    pi = rng.dirichlet(np.ones(K) * 5, size=K)
+    A = np.stack([np.eye(n) * a for a in np.linspace(0.3, 0.9, K)])
+    Q = np.stack([np.eye(n) * q for q in np.linspace(0.3, 0.6, K)])
+    C = np.eye(m, n)
+    R = np.eye(m) * 0.4
+    return slds.from_values(pi, A, Q, C, R)
+
+
+def test_x_marginal_matches_lgssm_when_single_state_path():
+    """With z constant, the conditional x-likelihood must equal the plain
+    LGSSM marginal likelihood with that state's matrices."""
+    params = make_params(K=2, n=1, m=1)
+    T = 12
+    ys, xs, zs = slds.generate_data(jax.random.PRNGKey(0), params, T)
+    for k in range(2):
+        z_const = jnp.full((T,), k, jnp.int32)
+        ll_slds = float(slds.x_marginal_loglikelihood(params, ys, z_const))
+        lg = lgssm_mod.LGSSMParams(
+            A=params.A[k], C=params.C,
+            LQinv_vec=params.LQinv_vec[k],
+            LRinv_vec=params.LRinv_vec)
+        ll_lgssm = float(lgssm_mod.marginal_loglikelihood(lg, ys))
+        np.testing.assert_allclose(ll_slds, ll_lgssm, rtol=1e-9)
+
+
+def test_x_ffbs_mean_matches_conditional_smoother():
+    params = make_params(K=2, n=1, m=1, seed=1)
+    T = 20
+    ys, xs, zs = slds.generate_data(jax.random.PRNGKey(1), params, T)
+    samples = jax.vmap(
+        lambda k: slds.x_latent_var_sample(params, k, ys, zs))(
+        jax.random.split(jax.random.PRNGKey(2), 2000))
+    emp = np.asarray(samples).mean(axis=0)
+    # conditional smoothed mean via constant-state LGSSM when z constant:
+    # instead check tracking of truth (statistical)
+    err = np.mean((emp[:, 0] - np.asarray(xs)[:, 0]) ** 2)
+    base = np.mean(np.asarray(xs)[:, 0] ** 2)
+    assert err < base, (err, base)
+
+
+def test_z_messages_recover_states():
+    params = make_params(K=2, n=1, m=1, seed=2)
+    # well-separated dynamics
+    params = slds.from_values(
+        pi=[[0.95, 0.05], [0.05, 0.95]],
+        A=np.stack([np.eye(1) * 0.95, np.eye(1) * -0.9]),
+        Q=np.stack([np.eye(1) * 0.1, np.eye(1) * 0.1]),
+        C=np.eye(1), R=np.eye(1) * 0.05)
+    ys, xs, zs = slds.generate_data(jax.random.PRNGKey(3), params, 300)
+    z_draw = slds.z_latent_var_sample(params, jax.random.PRNGKey(4), ys, xs)
+    acc = np.mean(np.asarray(z_draw) == np.asarray(zs))
+    assert max(acc, 1 - acc) > 0.8, acc
+
+
+def test_complete_data_gradient_finite_and_consistent():
+    params = make_params(K=2, n=2, m=2, seed=3)
+    ys, xs, zs = slds.generate_data(jax.random.PRNGKey(5), params, 15)
+    g = slds.gradient_complete_data_loglikelihood(params, ys, xs, zs)
+    for leaf in jax.tree_util.tree_leaves(g):
+        assert np.all(np.isfinite(np.asarray(leaf)))
+    # numerical check on one coordinate
+    eps = 1e-6
+    p_plus = params.replace(C=params.C.at[0, 0].add(eps))
+    p_minus = params.replace(C=params.C.at[0, 0].add(-eps))
+    fd = (float(slds.complete_data_loglikelihood(p_plus, ys, xs, zs))
+          - float(slds.complete_data_loglikelihood(p_minus, ys, xs, zs))
+          ) / (2 * eps)
+    np.testing.assert_allclose(float(g.C[0, 0]), fd, rtol=1e-4)
+
+
+def test_marginal_requires_conditioning():
+    params = make_params()
+    ys, xs, zs = slds.generate_data(jax.random.PRNGKey(6), params, 10)
+    import pytest
+    with pytest.raises(NotImplementedError):
+        slds.marginal_loglikelihood(params, ys)
+    assert np.isfinite(float(slds.marginal_loglikelihood(params, ys, z=zs)))
+    assert np.isfinite(float(slds.marginal_loglikelihood(params, ys, x=xs)))
+
+
+def test_blocked_gibbs_runs_and_stays_finite():
+    params = make_params(K=2, n=1, m=1, seed=4)
+    ys, xs, zs = slds.generate_data(jax.random.PRNGKey(7), params, 200)
+    prior = slds.default_prior(2, 1, 1, var=10.0)
+    p = slds.sample_prior(prior, jax.random.PRNGKey(8))
+    p = slds.project_parameters(p, fix_C_eye=True)
+    x, z = xs, zs
+    step = jax.jit(slds.gibbs_step)
+    for i in range(10):
+        p, x, z = step(jax.random.PRNGKey(100 + i), prior, p, ys, x, z)
+        p = slds.project_parameters(p)
+    for leaf in jax.tree_util.tree_leaves(p):
+        assert np.all(np.isfinite(np.asarray(leaf)))
