@@ -61,6 +61,7 @@ class Sampler:
             minibatch_size=kwargs.get("minibatch_size", 1),
             smoother=kwargs.get("pf", kwargs.get("smoother", "poyiadjis_N")),
             resampler=kwargs.get("resampler", "multinomial"),
+            resample_mode=kwargs.get("resample_mode", "auto"),
             lambduh=kwargs.get("lambduh", 0.95),
             n_tilde=kwargs.get("Ntilde", kwargs.get("n_tilde", 2)),
             partition_style=kwargs.get("partition_style", "uniform"),
@@ -90,6 +91,21 @@ class Sampler:
                 score = sgmcmc.make_marginal_score_fn(
                     lambda p, w, v, wt: m.windowed_marginal_gradient(
                         p, w, v, wt, B, S_eff), cfg, self.T)
+            elif kind == "complete":
+                from ..models import lgssm as lgssm_mod
+                if not self.model.name.startswith("lgssm"):
+                    raise NotImplementedError(
+                        "kind='complete' currently supports the LGSSM")
+                S = cfg.subsequence_length
+                full = (S == -1) or (S >= self.T)
+                B = 0 if full else max(cfg.buffer_length, 0)
+                S_eff = self.T if full else S
+                num_samples = kwargs.get("num_samples", 1)
+                score = sgmcmc.make_marginal_score_fn(
+                    lambda k, p, w, v, wt:
+                    lgssm_mod.windowed_complete_gradient(
+                        p, w, v, wt, B, S_eff, k, num_samples),
+                    cfg, self.T, pass_key=True)
             elif kind == "pf":
                 score = sgmcmc.make_pf_score_fn(
                     m.get_kernel(kernel_name), m.grad_statistic,
@@ -287,6 +303,37 @@ class Sampler:
             times.append(time.perf_counter() - start)
         return params_list, times
 
+    def fit_evaluate(self, iter_type: str, max_time: float,
+                     epsilon: float = 0.1, metric_functions=None,
+                     sample_functions=None, eval_freq: float = 5.0,
+                     steps_per_iteration: int = 1, **kwargs):
+        """Wall-clock-budgeted fit with an inline evaluator
+        (`fit_evaluate`, `sgmcmc_sampler.py:757-894`): sampler time and
+        evaluation time are tracked separately; metrics are recorded every
+        ``eval_freq`` seconds of sampler time."""
+        from ..evaluation.evaluator import SamplerEvaluator
+        evaluator = SamplerEvaluator(self, metric_functions=metric_functions,
+                                     sample_functions=sample_functions)
+        step = self.get_iter_step(iter_type)
+        sampler_time = 0.0
+        last_eval = 0.0
+        while sampler_time < max_time:
+            t0 = time.perf_counter()
+            for _ in range(steps_per_iteration):
+                step(epsilon, **kwargs)
+            sampler_time += time.perf_counter() - t0
+            evaluator.iteration += 1
+            evaluator.elapsed_time = sampler_time
+            if sampler_time - last_eval >= eval_freq:
+                evaluator.eval_metric_functions(self, evaluator.iteration,
+                                                time=sampler_time)
+                evaluator.eval_sample_functions(self, evaluator.iteration,
+                                                time=sampler_time)
+                last_eval = sampler_time
+        evaluator.eval_metric_functions(self, evaluator.iteration,
+                                        time=sampler_time)
+        return evaluator
+
     def fit_scan(self, iter_type: str, num_iters: int, epsilon: float = 0.1,
                  steps_per_iteration: int = 1, **kwargs):
         """Whole-loop-compiled fit returning the full parameter trace."""
@@ -312,6 +359,92 @@ class Sampler:
             self.next_key(), self.parameters, self.observations)
         self.parameters = params
         return trace
+
+    # -- prediction / latent recovery --------------------------------------
+    def predict(self, target: str = "latent", kind: str | None = None,
+                pf: str = "poyiadjis_N", N: int = 1000, squared=False,
+                **kwargs):
+        """Smoothed latent mean/cov (`predict`,
+        `sgmcmc_sampler.py:956-1123`; PF path `pf_latent_var_distr`,
+        e.g. `svm/helper.py:249-294`)."""
+        if target != "latent":
+            raise NotImplementedError("predict supports target='latent'")
+        m = self.model
+        if kind is None:
+            kind = self._default_kind()
+        if kind == "marginal":
+            from ..models import lgssm as lgssm_mod
+            from ..ops import kalman
+            p = self.parameters
+            mean, cov = kalman.pairwise_smoothed_moments(
+                self.observations, p.A, p.C, p.LQinv, p.LRinv,
+                lgssm_mod.default_forward_message(p),
+                lgssm_mod.default_backward_message(p))
+            return np.asarray(mean), np.asarray(cov)
+        # PF path: full-sequence elementwise sufficient statistics
+        from ..ops.buffered import run_buffered_pf
+        T = self.T
+        cache_key = ("latent_pf", pf, N, squared, T)
+        if cache_key not in self._cache:
+            def run(key, params, obs):
+                out = run_buffered_pf(
+                    m.get_kernel(kwargs.get("kernel")), m.suff_statistic,
+                    params, obs, key=key, n_particles=N,
+                    statistic_dim=m.suff_statistic_dim, smoother=pf,
+                    prior_mean=m.prior_mean_var(params)[0],
+                    prior_var=m.prior_mean_var(params)[1],
+                    resampler=kwargs.get("resampler", "multinomial"),
+                    resample_mode=kwargs.get("resample_mode", "auto"),
+                    elementwise=True, window_length=T)
+                return out.mean_statistic
+
+            self._cache[cache_key] = jax.jit(run)
+        stat = np.asarray(self._cache[cache_key](
+            self.next_key(), self.parameters, self.observations))
+        stat = stat.reshape(T, m.suff_statistic_dim)
+        if squared:   # GARCH squared-latent path (`garch/helper.py:262-267`)
+            x_mean, x_cov = stat[:, 1], stat[:, 2] - stat[:, 1] ** 2
+        else:
+            x_mean, x_cov = stat[:, 0], stat[:, 1] - stat[:, 0] ** 2
+        return x_mean.reshape(-1, 1), x_cov.reshape(-1, 1, 1)
+
+    def predictive_loglikelihood(self, num_steps_ahead: int = 5,
+                                 kind: str | None = None, N: int = 1000,
+                                 lag: int = 1, **kwargs):
+        """k-step-ahead predictive loglikelihood
+        (`pf_predictive_loglikelihood_estimate`, `svm/helper.py:187-247`;
+        exact lag version for message-passing models)."""
+        m = self.model
+        if kind is None:
+            kind = self._default_kind()
+        if kind == "marginal":
+            from ..models import lgssm as lgssm_mod
+            return float(lgssm_mod.predictive_loglikelihood(
+                self.parameters, self.observations, lag=lag))
+        from ..models import garch as garch_mod
+        from ..models import svm as svm_mod
+        from ..ops.buffered import run_buffered_pf
+        mod = svm_mod if m.name == "svm" else garch_mod
+        stat_fn = mod.make_predictive_stat_fn(self.observations,
+                                              num_steps_ahead)
+        cache_key = ("pred_ll", num_steps_ahead, N)
+        if cache_key not in self._cache:
+            def run(key, params, obs):
+                out = run_buffered_pf(
+                    m.get_kernel(None), stat_fn, params, obs, key=key,
+                    n_particles=N, statistic_dim=num_steps_ahead + 1,
+                    smoother="filter", logsumexp_mode=True,
+                    prior_mean=m.prior_mean_var(params)[0],
+                    prior_var=m.prior_mean_var(params)[1],
+                    resample_mode=kwargs.get("resample_mode", "auto"))
+                return out.statistics, out.loglikelihood
+
+            self._cache[cache_key] = jax.jit(run)
+        stats, loglik = self._cache[cache_key](
+            self.next_key(), self.parameters, self.observations)
+        out = np.array(stats)    # writable copy
+        out[0] = float(loglik)   # slot 0 = loglik (`svm/helper.py:245-246`)
+        return out
 
     # -- simulate ----------------------------------------------------------
     def simulate(self, T: int, parameters=None):
@@ -427,6 +560,50 @@ class GaussHMMSampler(GibbsSamplerMixin, Sampler):
         from ..models.registry import get_model
         super().__init__(get_model("gauss_hmm", num_states=num_states, m=m),
                          observations, **kw)
+
+    def sample_sgld_scir(self, epsilon, **kwargs):
+        """SGLD with the Stochastic Cox-Ingersoll-Ross exact Gamma-process
+        update on the transition simplex (Baker et al. 2018;
+        `CIRSamplerMixin.sample_sgld`, `hmm_helper.py:489-524`): the pi
+        slot carries the *unscaled* Dirichlet sufficient statistic
+        (summed pairwise posteriors + prior alpha) and is resampled by
+        SCIR; all other variables take the standard Langevin update.
+        """
+        from ..models import gauss_hmm as ghmm
+        cfg = self._score_config(**kwargs)
+        T = self.T
+        cache_key = ("sgld_scir", cfg, float(epsilon))
+        if cache_key not in self._cache:
+            S = cfg.subsequence_length
+            full = (S == -1) or (S >= T)
+            B = 0 if full else max(cfg.buffer_length, 0)
+            S_eff = T if full else S
+            score = sgmcmc.make_marginal_score_fn(
+                lambda p, w, v, wt: ghmm.windowed_marginal_gradient(
+                    p, w, v, wt, B, S_eff, use_scir=True), cfg, T)
+            prior = self.prior
+
+            def step(key, params, obs):
+                k_grad, k_scir, k_noise = jax.random.split(key, 3)
+                grad_ll, ll = score(k_grad, params, obs)
+                grad = sgmcmc.tree_add(
+                    grad_ll, ghmm.grad_logprior(prior, params,
+                                                use_scir=True))
+                a = grad.logit_pi          # unscaled Dirichlet suff stats
+                new_logit = ghmm.scir_transition_update(k_scir, params, a,
+                                                        epsilon)
+                scale = 1.0 / T
+                noise = sgmcmc.tree_random_normal(k_noise, params, scale)
+                upd = jax.tree_util.tree_map(
+                    lambda p, g, n: p + epsilon * g * scale
+                    + jnp.sqrt(2.0 * epsilon) * n, params, grad, noise)
+                new = upd.replace(logit_pi=new_logit)
+                return ghmm.project_parameters(new, center_logit=False), ll
+
+            self._cache[cache_key] = jax.jit(step)
+        self.parameters, _ = self._cache[cache_key](
+            self.next_key(), self.parameters, self.observations)
+        return self.parameters
 
 
 class ARPHMMSampler(Sampler):

@@ -196,7 +196,7 @@ def make_seq_pf_score_fn(kernel: ParticleKernel, stat_fn: StatisticFn,
 
 
 def make_marginal_score_fn(windowed_gradient_fn, config: PFScoreConfig,
-                           T: int, S_cap: int | None = None):
+                           T: int, pass_key: bool = False):
     """Buffered *exact-message* score estimator (kind='marginal').
 
     ``windowed_gradient_fn(params, window, valid, weights) ->
@@ -215,15 +215,20 @@ def make_marginal_score_fn(windowed_gradient_fn, config: PFScoreConfig,
 
     def one_window(key, params, observations):
         dtype = observations.dtype
+        key_win, key_fn = jax.random.split(key)
         if full:
             valid = jnp.ones((T,), dtype)
             weights = jnp.ones((T,), dtype)
-            return windowed_gradient_fn(params, observations, valid, weights)
-        start, weights = sample_subsequence(key, S, T,
-                                            config.partition_style, dtype)
-        idx = start - B + jnp.arange(W)
-        valid = ((idx >= 0) & (idx < T)).astype(dtype)
-        window = jnp.take(observations, jnp.clip(idx, 0, T - 1), axis=0)
+            window = observations
+        else:
+            start, weights = sample_subsequence(key_win, S, T,
+                                                config.partition_style, dtype)
+            idx = start - B + jnp.arange(W)
+            valid = ((idx >= 0) & (idx < T)).astype(dtype)
+            window = jnp.take(observations, jnp.clip(idx, 0, T - 1), axis=0)
+        if pass_key:
+            return windowed_gradient_fn(key_fn, params, window, valid,
+                                        weights)
         return windowed_gradient_fn(params, window, valid, weights)
 
     def score_fn(key, params, observations):

@@ -200,6 +200,34 @@ def suff_statistic(params: GARCHParams, x_t, x_next, y_next, t):
     return jnp.stack([x1, x1 * x1, x1 ** 4], axis=-1)
 
 
+def make_predictive_stat_fn(observations, num_steps_ahead: int,
+                            base_key=None):
+    """k-step-ahead predictive loglikelihood statistic
+    (`garch_predictive_loglikelihood`, `garch/helper.py:374-412`):
+    forward-simulate particles through the prior kernel and score y_{t+k}
+    under N(x_pred, R).  Returns [N, num_steps_ahead+1]."""
+    T = observations.shape[0]
+    if base_key is None:
+        base_key = jax.random.PRNGKey(0)
+
+    def stat_fn(params, x_t, x_next, y_next, t):
+        R = params.R
+        out = []
+        x_pred = x_next
+        for k in range(num_steps_ahead + 1):
+            tk = jnp.clip(t + k, 0, T - 1)
+            in_range = (t + k < T).astype(x_pred.dtype)
+            diff = observations[tk, 0] - x_pred[:, 0]
+            ll = (-0.5 * diff * diff / R - 0.5 * _LOG_2PI
+                  - 0.5 * jnp.log(R))
+            out.append(in_range * ll)
+            k_prop = jax.random.fold_in(jax.random.fold_in(base_key, k), 1)
+            x_pred = _propose_prior(params, k_prop, x_pred, y_next)
+        return jnp.stack(out, axis=-1)
+
+    return stat_fn
+
+
 def unpack_grad(stat: jax.Array) -> GARCHParams:
     """Score vector [4] -> gradient pytree (`garch/helper.py:110-115`)."""
     return GARCHParams(

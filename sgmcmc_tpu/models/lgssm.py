@@ -166,6 +166,41 @@ def windowed_marginal_gradient(params: LGSSMParams, window, valid, weights,
     return grad, loglik
 
 
+def windowed_complete_gradient(params: LGSSMParams, window, valid, weights,
+                               B: int, S: int, key,
+                               num_samples: int = 1):
+    """kind='complete' buffered estimator: FFBS latent draws over the
+    window, then the weighted complete-data score over the subsequence
+    (`_single_noisy_grad_loglikelihood` kind='complete',
+    `sgmcmc_sampler.py:330-362`).
+
+    The complete-data loglikelihood is closed form, so the score is its
+    autodiff — numerically identical to the reference's hand-derived
+    `gradient_complete_data_loglikelihood` (`lgssm/helper.py:422-491`).
+    """
+    fmsg = kalman.GaussianMessage(
+        jnp.zeros((), window.dtype),
+        default_forward_message(params).mean_precision,
+        default_forward_message(params).precision)
+
+    def one_sample(k):
+        x = kalman.ffbs_sample(k, window, params.A, params.C, params.LQinv,
+                               params.LRinv, fmsg)
+        x = jax.lax.stop_gradient(x)
+        x_prev = x[B - 1] if B > 0 else None
+
+        def cdl(p):
+            return complete_data_loglikelihood(
+                p, window[B:B + S], x[B:B + S], x_prev=x_prev,
+                weights=weights)
+
+        return jax.grad(cdl)(params), cdl(params)
+
+    grads, lls = jax.vmap(one_sample)(jax.random.split(key, num_samples))
+    grad = jax.tree_util.tree_map(lambda g: jnp.mean(g, axis=0), grads)
+    return grad, jnp.mean(lls)
+
+
 def complete_data_loglikelihood(params: LGSSMParams, observations,
                                 latent_vars, x_prev=None, weights=None):
     """log p(y, x | theta) (`lgssm/helper.py:235-266`), vectorized over t."""

@@ -132,10 +132,106 @@ KERNEL = ParticleKernel(
 )
 
 
+# --------------------------------------------------------------------------
+# Adaptive proposal kernels (working rewrites of the reference's
+# `particle_filters/custom_kernels.py:9-148`, whose module cannot even be
+# imported — it subclasses an undefined `SVJMPriorKernel`).  The Laplace
+# kernel finds the mode of log p(x' | x, y') with a fixed-iteration Newton
+# solve (TPU-friendly replacement for `scipy.optimize.root_scalar`); the EP
+# kernel matches moments by Gauss-Hermite quadrature.
+# --------------------------------------------------------------------------
+
+_NEWTON_ITERS = 10
+_GH_POINTS = 32
+
+
+def _laplace_mode(params: SVMParams, x_t, y_next):
+    """Mode and curvature of x' -> log p(x'|x) + log p(y'|x')."""
+    qinv, rinv = params.qinv, params.rinv
+    mean = params.a * x_t[:, 0]
+    y2r = (y_next[0] ** 2) * rinv
+
+    def newton(mode, _):
+        g = -(mode - mean) * qinv + 0.5 * y2r * jnp.exp(-mode) - 0.5
+        h = -qinv - 0.5 * y2r * jnp.exp(-mode)
+        return mode - g / h, None
+
+    mode, _ = jax.lax.scan(newton, mean, None, length=_NEWTON_ITERS)
+    h = -qinv - 0.5 * y2r * jnp.exp(-mode)
+    return mode, -1.0 / h            # (mode, proposal variance)
+
+
+def _propose_laplace(params: SVMParams, key, x_t, y_next):
+    mode, var = _laplace_mode(params, x_t, y_next)
+    z = jax.random.normal(key, mode.shape, x_t.dtype)
+    return (mode + jnp.sqrt(var) * z)[:, None]
+
+
+def _reweight_laplace(params: SVMParams, x_t, x_next, y_next):
+    """w = p(x'|x) p(y'|x') / q(x'|x, y')."""
+    mode, var = _laplace_mode(params, x_t, y_next)
+    x1 = x_next[:, 0]
+    log_q = (-0.5 * _LOG_2PI - 0.5 * jnp.log(var)
+             - 0.5 * (x1 - mode) ** 2 / var)
+    return (_prior_log_density(params, x_t, x_next)
+            + _reweight(params, x_t, x_next, y_next) - log_q)
+
+
+def _ep_moments(params: SVMParams, x_t, y_next):
+    """Gauss-Hermite moment matching of p(x' | x, y')
+    (`custom_kernels.py:77-148` SVMEPKernel)."""
+    import numpy as onp
+    nodes, weights = onp.polynomial.hermite_e.hermegauss(_GH_POINTS)
+    nodes = jnp.asarray(nodes, x_t.dtype)
+    gh_w = jnp.asarray(weights, x_t.dtype)
+    mean = params.a * x_t[:, 0]
+    sd = jnp.sqrt(params.Q)
+    xs = mean[:, None] + sd * nodes[None, :]          # [N, G]
+    log_lik = (-0.5 * (y_next[0] ** 2) * jnp.exp(-xs) * params.rinv
+               - 0.5 * xs)
+    w = gh_w[None, :] * jnp.exp(log_lik - jnp.max(log_lik, axis=1,
+                                                  keepdims=True))
+    w = w / jnp.sum(w, axis=1, keepdims=True)
+    m1 = jnp.sum(w * xs, axis=1)
+    m2 = jnp.sum(w * xs * xs, axis=1)
+    return m1, jnp.maximum(m2 - m1 * m1, 1e-8)
+
+
+def _propose_ep(params: SVMParams, key, x_t, y_next):
+    m1, var = _ep_moments(params, x_t, y_next)
+    z = jax.random.normal(key, m1.shape, x_t.dtype)
+    return (m1 + jnp.sqrt(var) * z)[:, None]
+
+
+def _reweight_ep(params: SVMParams, x_t, x_next, y_next):
+    m1, var = _ep_moments(params, x_t, y_next)
+    x1 = x_next[:, 0]
+    log_q = (-0.5 * _LOG_2PI - 0.5 * jnp.log(var)
+             - 0.5 * (x1 - m1) ** 2 / var)
+    return (_prior_log_density(params, x_t, x_next)
+            + _reweight(params, x_t, x_next, y_next) - log_q)
+
+
+LAPLACE_KERNEL = ParticleKernel(
+    sample_x0=_sample_x0, propose=_propose_laplace,
+    reweight=_reweight_laplace, prior_log_density=_prior_log_density,
+    prior_log_density_max=_prior_log_density_max, state_dim=1)
+
+EP_KERNEL = ParticleKernel(
+    sample_x0=_sample_x0, propose=_propose_ep, reweight=_reweight_ep,
+    prior_log_density=_prior_log_density,
+    prior_log_density_max=_prior_log_density_max, state_dim=1)
+
+
 def get_kernel(name: str | None = None) -> ParticleKernel:
-    """Kernel selection (`svm/helper.py:56-65`): only 'prior' is analytic."""
+    """Kernel selection (`svm/helper.py:56-65`), extended with working
+    Laplace / EP adaptive proposals."""
     if name in (None, "prior"):
         return KERNEL
+    if name == "laplace":
+        return LAPLACE_KERNEL
+    if name == "ep":
+        return EP_KERNEL
     raise ValueError(f"Unrecognized SVM kernel '{name}'")
 
 
@@ -163,6 +259,40 @@ def suff_statistic(params: SVMParams, x_t, x_next, y_next, t):
     x0 = x_t[:, 0]
     x1 = x_next[:, 0]
     return jnp.stack([x1, x1 * x1, x0 * x1], axis=-1)
+
+
+def make_predictive_stat_fn(observations, num_steps_ahead: int,
+                            n_mc: int = 1, base_key=None):
+    """k-step-ahead predictive loglikelihood statistic
+    (`svm_predictive_loglikelihood`, `svm/helper.py:352-395`): propagate the
+    latent AR(1) moments k steps, Monte-Carlo over the latent, and score
+    y_{t+k} under N(0, exp(x) R).  Returns [N, num_steps_ahead+1]."""
+    T = observations.shape[0]
+    if base_key is None:
+        base_key = jax.random.PRNGKey(0)
+
+    def stat_fn(params, x_t, x_next, y_next, t):
+        N = x_next.shape[0]
+        a, Q, R = params.a, params.Q, params.R
+        out = []
+        x_mean = x_next[:, 0]
+        x_var = jnp.zeros(())
+        for k in range(num_steps_ahead + 1):
+            tk = jnp.clip(t + k, 0, T - 1)
+            in_range = (t + k < T).astype(x_mean.dtype)
+            y_tk = observations[tk, 0]
+            z = jax.random.normal(jax.random.fold_in(base_key, 7919 * k + 1),
+                                  (N, n_mc), x_mean.dtype)
+            x_mc = x_mean[:, None] + jnp.sqrt(x_var) * z
+            y_var = R * jnp.exp(x_mc)
+            ll = jnp.mean(-0.5 * y_tk ** 2 / y_var
+                          - 0.5 * _LOG_2PI - 0.5 * jnp.log(y_var), axis=1)
+            out.append(in_range * ll)
+            x_mean = a * x_mean
+            x_var = Q + a * a * x_var
+        return jnp.stack(out, axis=-1)
+
+    return stat_fn
 
 
 def unpack_grad(stat: jax.Array) -> SVMParams:

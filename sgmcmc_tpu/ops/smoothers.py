@@ -280,6 +280,103 @@ def make_paris_step(kernel: ParticleKernel, stat_fn: StatisticFn,
     return step
 
 
+def accept_reject_backward_indices(key, kernel: ParticleKernel, params,
+                                   particles, log_weights, new_particles,
+                                   n_tilde: int,
+                                   max_accept_reject: int | None = None):
+    """PaRIS Algorithm 3 backward sampling via accept-reject
+    (`pf.py:260-341`), as a bounded `lax.while_loop` over masked lanes.
+
+    Every (i, k) lane proposes ancestors I ~ Categorical(w) and accepts
+    with probability q(x_I -> x'_i) / q_max; after ``max_accept_reject``
+    rounds (default 100 log10(N/10), the reference's budget) any remaining
+    lanes fall back to exact sampling from the dense backward weights.
+    """
+    import math
+    N = particles.shape[0]
+    if max_accept_reject is None:
+        max_accept_reject = max(int(100 * math.log10(N / 10)), 8) \
+            if N > 10 else 8
+    log_q_max = kernel.prior_log_density_max(params)
+    lanes = (N, n_tilde)
+
+    def cond(state):
+        i, _, accepted, _ = state
+        return (i < max_accept_reject) & jnp.logical_not(jnp.all(accepted))
+
+    def body(state):
+        it, key, accepted, J = state
+        key, k_prop, k_u = jax.random.split(key, 3)
+        I = jax.random.categorical(k_prop, log_weights,
+                                   shape=lanes).astype(jnp.int32)
+        U = jax.random.uniform(k_u, lanes, log_weights.dtype)
+        x_prop = jnp.take(particles, I, axis=0)          # [N, K, D]
+        x_next_b = jnp.broadcast_to(new_particles[:, None, :], x_prop.shape)
+        log_q = kernel.prior_log_density(params, x_prop, x_next_b)
+        accept_now = (U <= jnp.exp(log_q - log_q_max)) & ~accepted
+        J = jnp.where(accept_now, I, J)
+        return (it + 1, key, accepted | accept_now, J)
+
+    key, key_loop, key_fb = jax.random.split(key, 3)
+    init = (jnp.zeros((), jnp.int32), key_loop,
+            jnp.zeros(lanes, bool), jnp.zeros(lanes, jnp.int32))
+    _, _, accepted, J = jax.lax.while_loop(cond, body, init)
+
+    # exact fallback for unaccepted lanes (manual sampling, `pf.py:329-339`)
+    def exact_rows(k):
+        def row(x_next_i):
+            x_b = jnp.broadcast_to(x_next_i[None, :], particles.shape)
+            return log_weights + kernel.prior_log_density(params, particles,
+                                                          x_b)
+        log_bw = jax.vmap(row)(new_particles)            # [N, N]
+        keys = jax.random.split(k, N)
+        return jax.vmap(lambda kk, lw: jax.random.categorical(
+            kk, lw, shape=(n_tilde,)))(keys, log_bw).astype(jnp.int32)
+
+    J_exact = jax.lax.cond(jnp.all(accepted),
+                           lambda k: J, exact_rows, key_fb)
+    return jnp.where(accepted, J, J_exact)
+
+
+def make_paris_ar_step(kernel: ParticleKernel, stat_fn: StatisticFn,
+                       n_tilde: int = 2,
+                       resampler_name: str = "multinomial",
+                       resample_mode: str = "gather",
+                       max_accept_reject: int | None = None):
+    """PaRIS step with accept-reject backward sampling (O(N K) expected)."""
+    if resample_mode == "auto":
+        resample_mode = default_mode()
+    resampler = get_resampler(resampler_name)
+
+    def step(params, carry: PFCarry, inp: PFStepInput) -> PFCarry:
+        key_prop, key_bs = jax.random.split(inp.key)
+        if resample_mode == "gather":
+            parents, particles, log_w, _ = _propagate(
+                kernel, resampler, params, key_prop, carry.particles,
+                carry.log_weights, inp.y)
+        else:
+            parents, particles, log_w, _ = _propagate_apply(
+                kernel, resampler_name, resample_mode, params, key_prop,
+                carry.particles, carry.log_weights, None, inp.y)
+        J = accept_reject_backward_indices(
+            key_bs, kernel, params, carry.particles, carry.log_weights,
+            particles, n_tilde, max_accept_reject)       # [N, K]
+        scale = inp.weight * inp.in_window
+        rewired_stats = jnp.take(carry.statistics, J, axis=0)
+
+        def h_for(x_next_i, J_i):
+            xt = jnp.take(carry.particles, J_i, axis=0)
+            x_next_b = jnp.broadcast_to(x_next_i[None, :], xt.shape)
+            return stat_fn(params, xt, x_next_b, inp.y, inp.t)
+
+        h = jax.vmap(h_for)(particles, J)
+        stats = jnp.mean(rewired_stats + scale * h, axis=1)
+        loglik = carry.loglik + inp.weight * inp.in_window * _loglik_increment(log_w)
+        return PFCarry(particles, log_w, stats, loglik)
+
+    return step
+
+
 def make_smoother_step(name: str, kernel: ParticleKernel, stat_fn: StatisticFn,
                        resampler_name: str = "multinomial",
                        lambduh: float = 0.95, n_tilde: int = 2,
@@ -301,4 +398,7 @@ def make_smoother_step(name: str, kernel: ParticleKernel, stat_fn: StatisticFn,
     if name == "paris":
         return make_paris_step(kernel, stat_fn, n_tilde, resampler_name,
                                resample_mode)
+    if name == "paris_ar":
+        return make_paris_ar_step(kernel, stat_fn, n_tilde, resampler_name,
+                                  resample_mode)
     raise ValueError(f"Unrecognized pf = '{name}'")

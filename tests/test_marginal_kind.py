@@ -125,3 +125,19 @@ def test_hmm_noisy_loglik_same_scale_as_exact():
     assert 0.3 * abs(exact) < abs(noisy) < 3.0 * abs(exact), (noisy, exact)
     # full-sequence request returns the exact value
     np.testing.assert_allclose(s.noisy_loglikelihood(), exact, rtol=1e-9)
+
+
+def test_gauss_hmm_scir_sgld():
+    """SCIR SGLD keeps the simplex valid and the chain finite."""
+    true = ghmm.from_values(pi=[[0.9, 0.1], [0.2, 0.8]], mu=[[-1.0], [1.5]],
+                            R=np.stack([np.eye(1) * 0.3, np.eye(1) * 0.3]))
+    ys, _ = ghmm.generate_data(jax.random.PRNGKey(7), true, 300)
+    s = GaussHMMSampler(observations=ys, num_states=2, m=1, seed=8)
+    s.parameters = true
+    for _ in range(15):
+        s.sample_sgld_scir(epsilon=0.05, subsequence_length=32,
+                           buffer_length=8)
+    pi = np.asarray(s.parameters.pi)
+    np.testing.assert_allclose(pi.sum(axis=1), 1.0, rtol=1e-6)
+    assert np.all(pi > 0)
+    assert np.all(np.isfinite(np.asarray(s.parameters.mu)))

@@ -158,3 +158,22 @@ def test_buffered_pf_runs_all_smoothers():
         assert np.isfinite(float(out.loglikelihood)), name
         assert np.all(np.isfinite(np.asarray(out.mean_statistic))), name
         assert out.mean_statistic.shape == (3,)
+
+
+def test_paris_ar_matches_paris_statistically():
+    """Accept-reject PaRIS ('paris_ar') must agree with exact-backward
+    PaRIS in expectation (same smoothing target)."""
+    params = svm.from_scalars(A=0.9, Q=0.3, R=1.0, dtype=jnp.float64)
+    ys, _ = svm.generate_data(jax.random.PRNGKey(5), params, 25)
+
+    def run(name, key):
+        return buffered.run_buffered_pf(
+            svm.KERNEL, svm.grad_statistic, params, ys,
+            key=key, n_particles=128, statistic_dim=3, smoother=name,
+            n_tilde=2, prior_mean=0.0,
+            prior_var=float(svm.stationary_variance(params))).mean_statistic
+
+    keys = jax.random.split(jax.random.PRNGKey(6), 12)
+    a = np.mean([np.asarray(run("paris", k)) for k in keys], axis=0)
+    b = np.mean([np.asarray(run("paris_ar", k)) for k in keys], axis=0)
+    np.testing.assert_allclose(a, b, rtol=0.3, atol=1.0)

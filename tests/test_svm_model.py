@@ -93,3 +93,27 @@ def test_sample_prior_shapes():
     assert params.A.shape == (1, 1)
     assert params.LQinv_vec.shape == (1,)
     assert np.isfinite(float(svm.logprior(prior, params)))
+
+
+def test_laplace_and_ep_kernels_estimate_same_loglik():
+    """Adaptive proposals must estimate the same marginal likelihood as the
+    bootstrap kernel, with lower variance."""
+    from sgmcmc_tpu.ops import buffered
+    params = svm.from_scalars(A=0.9, Q=0.5, R=1.0, dtype=jnp.float64)
+    ys, _ = svm.generate_data(jax.random.PRNGKey(0), params, 50)
+
+    def loglik(kernel_name, key, N=256):
+        return float(buffered.run_buffered_pf(
+            svm.get_kernel(kernel_name), svm.suff_statistic, params, ys,
+            key=key, n_particles=N, statistic_dim=3, smoother="filter",
+            prior_mean=0.0,
+            prior_var=float(svm.stationary_variance(params))).loglikelihood)
+
+    keys = jax.random.split(jax.random.PRNGKey(1), 12)
+    res = {k: np.array([loglik(k, kk) for kk in keys])
+           for k in ["prior", "laplace", "ep"]}
+    for name in ["laplace", "ep"]:
+        np.testing.assert_allclose(res[name].mean(), res["prior"].mean(),
+                                   rtol=0.03, err_msg=name)
+        # adaptive proposals should not be (much) noisier than bootstrap
+        assert res[name].std() < res["prior"].std() * 1.5, name
