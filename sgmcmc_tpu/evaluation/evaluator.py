@@ -13,7 +13,7 @@ Rewrite of `/root/reference/sgmcmc_ssm/evaluator.py`:
 from __future__ import annotations
 
 import time
-from typing import Callable, Iterable
+from typing import Iterable
 
 import numpy as np
 import pandas as pd

@@ -7,7 +7,7 @@ the individual model modules — the functional analogue of the reference's
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable
+from typing import Callable
 
 import jax.numpy as jnp
 

@@ -16,8 +16,7 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-from ..utils.distributions import (beta_logpdf, matrix_normal_logpdf,
-                                   sample_beta, sample_wishart,
+from ..utils.distributions import (matrix_normal_logpdf, sample_wishart,
                                    wishart_logpdf)
 from ..utils.linalg import tril_vector_to_mat
 from .base import ParticleKernel

@@ -10,7 +10,6 @@ thing jits once and vmaps over (minibatch subsequences, chains).
 """
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple
 
 import jax

@@ -123,9 +123,19 @@ def weights_cdf(log_weights: jax.Array) -> jax.Array:
     return cdf / cdf[-1]
 
 
-def default_mode() -> str:
-    """TPU gets the fused kernel; CPU/GPU keep index semantics."""
-    return "pallas" if jax.default_backend() == "tpu" else "gather"
+# The one-hot matmul is O(N^2) per step; index-based resampling is O(N log N)
+# with poor constants on TPU.  Measured crossover is around N ~ 8k.
+PALLAS_MAX_PARTICLES = 8192
+
+
+def default_mode(n_particles: int | None = None) -> str:
+    """TPU gets the fused kernel up to the O(N^2) crossover; CPU/GPU and
+    very large N keep index semantics."""
+    if jax.default_backend() != "tpu":
+        return "gather"
+    if n_particles is not None and n_particles > PALLAS_MAX_PARTICLES:
+        return "gather"
+    return "pallas"
 
 
 def resample_apply(key: jax.Array, log_weights: jax.Array, vals: jax.Array,
@@ -137,9 +147,9 @@ def resample_apply(key: jax.Array, log_weights: jax.Array, vals: jax.Array,
     'gather' (searchsorted + take — index semantics, CPU default),
     'auto' (backend-dependent default).
     """
-    if mode == "auto":
-        mode = default_mode()
     n = log_weights.shape[0]
+    if mode == "auto":
+        mode = default_mode(n)
     cdf = weights_cdf(log_weights)
     pos = resample_positions(scheme, key, n, cdf.dtype)
     if mode == "pallas":

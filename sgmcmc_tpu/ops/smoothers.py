@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 
 from ..models.base import ParticleKernel, StatisticFn
-from .pallas.resample import default_mode, resample_apply
+from .pallas.resample import resample_apply
 from .resampling import get_resampler, normalize_log_weights
 
 
@@ -103,8 +103,6 @@ def make_filter_step(kernel: ParticleKernel, stat_fn: StatisticFn,
     `pf.py:73-76` collapses the statistic axis in its inner sum — we keep
     the mathematically intended per-dimension reduction).
     """
-    if resample_mode == "auto":
-        resample_mode = default_mode()
     resampler = get_resampler(resampler_name)
 
     def step(params, carry: PFCarry, inp: PFStepInput) -> PFCarry:
@@ -142,8 +140,6 @@ def make_nemeth_step(kernel: ParticleKernel, stat_fn: StatisticFn,
     With ``resample_mode != 'gather'`` the carried statistics are resampled
     jointly with the particles through the fused one-hot matmul.
     """
-    if resample_mode == "auto":
-        resample_mode = default_mode()
     resampler = get_resampler(resampler_name)
 
     def step(params, carry: PFCarry, inp: PFStepInput) -> PFCarry:
@@ -196,8 +192,6 @@ def make_poyiadjis_n2_step(kernel: ParticleKernel, stat_fn: StatisticFn,
     is a dense [N,N]@[N,H] matmul on the MXU, the pairwise-h term a
     contraction over a vmapped [N,N,H] statistic tensor.
     """
-    if resample_mode == "auto":
-        resample_mode = default_mode()
     resampler = get_resampler(resampler_name)
 
     def step(params, carry: PFCarry, inp: PFStepInput) -> PFCarry:
@@ -242,8 +236,6 @@ def make_paris_step(kernel: ParticleKernel, stat_fn: StatisticFn,
     normalized backward weights (`pf.py:226-237` "naive" mode, which the
     accept-reject Algorithm 3 merely approximates in O(N*K) CPU time).
     """
-    if resample_mode == "auto":
-        resample_mode = default_mode()
     resampler = get_resampler(resampler_name)
 
     def step(params, carry: PFCarry, inp: PFStepInput) -> PFCarry:
@@ -344,8 +336,6 @@ def make_paris_ar_step(kernel: ParticleKernel, stat_fn: StatisticFn,
                        resample_mode: str = "gather",
                        max_accept_reject: int | None = None):
     """PaRIS step with accept-reject backward sampling (O(N K) expected)."""
-    if resample_mode == "auto":
-        resample_mode = default_mode()
     resampler = get_resampler(resampler_name)
 
     def step(params, carry: PFCarry, inp: PFStepInput) -> PFCarry:

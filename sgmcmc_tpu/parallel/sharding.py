@@ -15,8 +15,6 @@ parallelism rides DCN (no communication), particle collectives stay on ICI.
 """
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P

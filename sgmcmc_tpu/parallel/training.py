@@ -9,8 +9,6 @@ projection — is one `shard_map`-wrapped function that jits once.
 """
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 from jax import shard_map

@@ -11,8 +11,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .linalg import lower_tri_mat_inv
-
 _LOG_2PI = float(np.log(2.0 * np.pi))
 
 
