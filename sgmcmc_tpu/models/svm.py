@@ -84,8 +84,10 @@ def from_scalars(A: float, Q: float, R: float, dtype=jnp.float32) -> SVMParams:
 
 
 def stationary_variance(params: SVMParams) -> jax.Array:
-    """Stationary variance Q / (1 - A^2) of the latent AR(1)."""
-    return params.Q / (1.0 - params.a ** 2)
+    """Stationary variance Q / (1 - A^2) of the latent AR(1), capped so the
+    PF initialization stays inside float32's exp range when the projection
+    pins |A| at its boundary."""
+    return jnp.minimum(params.Q / (1.0 - params.a ** 2), 1e3)
 
 
 # --------------------------------------------------------------------------
@@ -103,10 +105,16 @@ def _propose(params: SVMParams, key, x_t, y_next):
 
 
 def _reweight(params: SVMParams, x_t, x_next, y_next):
-    """log Pr(y_{t+1} | x_{t+1}) for emission N(0, exp(x) R)."""
+    """log Pr(y_{t+1} | x_{t+1}) for emission N(0, exp(x) R).
+
+    The exponent is clipped to float32's safe range: without it, a single
+    excursion of the latent below ~-90 makes every log-weight -inf and the
+    filter (and then the whole SGLD chain) NaNs — the f64 reference never
+    hits this."""
     x = x_next[:, 0]
     return (-0.5 * _LOG_2PI
-            - 0.5 * (y_next[0] ** 2) * jnp.exp(-x) * params.rinv
+            - 0.5 * (y_next[0] ** 2) * jnp.exp(jnp.clip(-x, -60.0, 60.0))
+            * params.rinv
             + jnp.log(jnp.abs(params.lrinv))
             - 0.5 * x)
 
@@ -248,7 +256,7 @@ def grad_statistic(params: SVMParams, x_t, x_next, y_next, t):
     diff_x = x1 - params.a * x0
     grad_A = params.qinv * diff_x * x0
     grad_LQinv = 1.0 / params.lqinv - diff_x * diff_x * params.lqinv
-    diff_y2 = (y_next[0] ** 2) * jnp.exp(-x1)
+    diff_y2 = (y_next[0] ** 2) * jnp.exp(jnp.clip(-x1, -60.0, 60.0))
     grad_LRinv = 1.0 / params.lrinv - diff_y2 * params.lrinv
     return jnp.stack([grad_LRinv, grad_LQinv, grad_A], axis=-1)
 

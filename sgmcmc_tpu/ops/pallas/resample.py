@@ -117,10 +117,16 @@ def resample_positions(scheme: str, key: jax.Array, n: int, dtype):
 
 
 def weights_cdf(log_weights: jax.Array) -> jax.Array:
-    """Inclusive normalized CDF of exp(log_weights)."""
-    w = jnp.exp(log_weights - jnp.max(log_weights))
+    """Inclusive normalized CDF of exp(log_weights); degenerate (all -inf)
+    weight vectors fall back to the uniform CDF instead of NaN."""
+    m = jnp.max(log_weights)
+    m = jnp.where(jnp.isfinite(m), m, 0.0)
+    w = jnp.exp(log_weights - m)
     cdf = jnp.cumsum(w)
-    return cdf / cdf[-1]
+    n = log_weights.shape[0]
+    uniform = (jnp.arange(1, n + 1, dtype=cdf.dtype)) / n
+    return jnp.where(cdf[-1] > 0, cdf / jnp.where(cdf[-1] > 0, cdf[-1], 1.0),
+                     uniform)
 
 
 # The one-hot matmul is O(N^2) per step; index-based resampling is O(N log N)

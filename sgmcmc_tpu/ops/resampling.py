@@ -19,9 +19,18 @@ import jax.numpy as jnp
 
 
 def normalize_log_weights(log_weights: jax.Array) -> jax.Array:
-    """exp-normalize log weights to probabilities (`pf.py:374-377`)."""
-    w = jnp.exp(log_weights - jnp.max(log_weights, axis=-1, keepdims=True))
-    return w / jnp.sum(w, axis=-1, keepdims=True)
+    """exp-normalize log weights to probabilities (`pf.py:374-377`).
+
+    Degenerate inputs (all -inf / non-finite) fall back to uniform weights
+    instead of propagating NaN through the filter.
+    """
+    m = jnp.max(log_weights, axis=-1, keepdims=True)
+    m = jnp.where(jnp.isfinite(m), m, 0.0)
+    w = jnp.exp(log_weights - m)
+    total = jnp.sum(w, axis=-1, keepdims=True)
+    n = log_weights.shape[-1]
+    return jnp.where(total > 0, w / jnp.where(total > 0, total, 1.0),
+                     1.0 / n)
 
 
 def multinomial_resampling(key: jax.Array, log_weights: jax.Array,
