@@ -23,7 +23,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 
 import numpy as np
 
-DEFAULT_DATA = "/root/reference/demo/exchange_rate/data/EURUS_processed.npz"
+DEFAULT_DATA = "/root/reference/data/EURUS_processed.npz"
 
 
 def load_segments(path: str, min_len: int = 7):
@@ -41,7 +41,10 @@ def load_segments(path: str, min_len: int = 7):
     return segments
 
 
-def fit_model(model_name, observations, method, max_time, N, seed=12345):
+def fit_model(model_name, observations, method, num_iters, N, seed=12345):
+    """Whole-loop-compiled fit (fit_scan): per-step Python calls pay a
+    ~100ms RPC round-trip on tunneled TPU backends, so the demo compiles
+    the entire chain into one XLA program."""
     from sgmcmc_tpu.inference.samplers import GARCHSampler, SVMSampler
     cls = SVMSampler if model_name == "svm" else GARCHSampler
     sampler = cls(observations=observations, seed=seed)
@@ -52,8 +55,11 @@ def fit_model(model_name, observations, method, max_time, N, seed=12345):
     else:  # full-sequence Langevin dynamics
         kwargs = dict(epsilon=0.1, subsequence_length=-1, pf="paris", N=N,
                       resample_mode="auto")
-    params_list, times = sampler.fit_timed("SGLD", max_time=max_time,
-                                           **kwargs)
+    trace = sampler.fit_scan("SGLD", num_iters=num_iters, **kwargs)
+    from sgmcmc_tpu.io.checkpoint import unstack_trace
+    import jax
+    params_list = unstack_trace(jax.device_get(trace))
+    times = list(range(len(params_list)))
     return sampler, params_list, times
 
 
@@ -61,7 +67,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--data", default=DEFAULT_DATA)
     ap.add_argument("--model", default="svm", choices=["svm", "garch"])
-    ap.add_argument("--max_time", type=float, default=60.0)
+    ap.add_argument("--sgld_iters", type=int, default=20000)
+    ap.add_argument("--ld_iters", type=int, default=2000)
     ap.add_argument("--N", type=int, default=1000)
     ap.add_argument("--segment", type=int, default=1)
     ap.add_argument("--out", default="./exchange_out")
@@ -77,8 +84,9 @@ def main():
     results = {}
     for method in ["sgld", "ld"]:
         t0 = time.time()
+        iters = args.sgld_iters if method == "sgld" else args.ld_iters
         sampler, params_list, times = fit_model(
-            args.model, obs, method, args.max_time, args.N)
+            args.model, obs, method, iters, args.N)
         print(f"{method}: {len(params_list)} samples in "
               f"{time.time() - t0:.1f}s; final loglik "
               f"{sampler.noisy_loglikelihood(N=args.N, pf='filter'):.2f}")
@@ -86,20 +94,18 @@ def main():
         ckpt.save_trace(os.path.join(
             args.out, f"{args.model}_{method}_trace.p"), params_list, times)
 
-    # trace summary
+    # trace summary (single batched host transfer per trace)
+    from sgmcmc_tpu.io.checkpoint import stack_trace
     for method, (params_list, _) in results.items():
         burn = len(params_list) // 3
+        stacked = stack_trace(params_list[burn:])
         if args.model == "svm":
-            phi = np.mean([float(p.A[0, 0]) for p in params_list[burn:]])
-            sigma = np.mean([float(1.0 / abs(p.LQinv_vec[0]))
-                             for p in params_list[burn:]])
-            tau = np.mean([float(1.0 / abs(p.LRinv_vec[0]))
-                           for p in params_list[burn:]])
+            phi = float(np.mean(stacked.A[:, 0, 0]))
+            sigma = float(np.mean(1.0 / np.abs(stacked.LQinv_vec[:, 0])))
+            tau = float(np.mean(1.0 / np.abs(stacked.LRinv_vec[:, 0])))
             print(f"{method}: phi={phi:.4f} sigma={sigma:.4f} tau={tau:.4f}")
         else:
-            import jax.numpy as jnp
-            mu = np.mean([float(np.exp(p.log_mu[0]))
-                          for p in params_list[burn:]])
+            mu = float(np.mean(np.exp(stacked.log_mu[:, 0])))
             print(f"{method}: mu={mu:.4f}")
 
 

@@ -20,6 +20,22 @@ from ..models.registry import ModelAPI, get_model
 from . import sgmcmc
 
 
+def _draw_prior_on_cpu(sample_prior, project, prior, key):
+    """Draw initial parameters eagerly on the local CPU backend.
+
+    On tunneled TPU backends both eager dispatch (per-op RPC) and the jit
+    compile of gamma/Wishart sampling cost minutes; eager ops on the
+    in-process CPU backend take seconds and priors are tiny.
+    """
+    try:
+        cpu = jax.local_devices(backend="cpu")[0]
+    except RuntimeError:
+        return jax.jit(lambda k: project(sample_prior(prior, k)))(key)
+    with jax.default_device(cpu):
+        params = project(sample_prior(prior, jax.device_put(key, cpu)))
+    return jax.device_put(params, jax.devices()[0])
+
+
 class Sampler:
     """Stateful convenience wrapper over the functional SG-MCMC core.
 
@@ -35,13 +51,13 @@ class Sampler:
         self.prior = self.model.default_prior() if prior is None else prior
         self.options = options
         self._key = jax.random.PRNGKey(seed)
+        self._cache: dict[Any, Any] = {}
         if parameters is not None:
             self.parameters = parameters
         else:
-            self.parameters = self.model.sample_prior(self.prior,
-                                                      self.next_key())
-            self.parameters = self.model.project_parameters(self.parameters)
-        self._cache: dict[Any, Any] = {}
+            self.parameters = _draw_prior_on_cpu(
+                self.model.sample_prior, self.model.project_parameters,
+                self.prior, self.next_key())
 
     # -- PRNG threading ---------------------------------------------------
     def next_key(self):
@@ -164,14 +180,18 @@ class Sampler:
         if not self.model.has_exact:
             raise NotImplementedError(
                 f"{self.model.name} has no exact marginal likelihood")
-        return float(self.model.marginal_loglikelihood(self.parameters,
-                                                       self.observations))
+        if "exact_ll" not in self._cache:
+            self._cache["exact_ll"] = jax.jit(self.model.marginal_loglikelihood)
+        return float(self._cache["exact_ll"](self.parameters,
+                                             self.observations))
 
     def exact_gradient(self):
         if not self.model.has_exact:
             raise NotImplementedError
-        return self.model.gradient_marginal_loglikelihood(self.parameters,
-                                                          self.observations)
+        if "exact_grad" not in self._cache:
+            self._cache["exact_grad"] = jax.jit(
+                self.model.gradient_marginal_loglikelihood)
+        return self._cache["exact_grad"](self.parameters, self.observations)
 
     # -- gradient / steps --------------------------------------------------
     def noisy_gradient(self, preconditioner=False, is_scaled=True, **kwargs):
@@ -233,6 +253,29 @@ class Sampler:
             self.next_key(), self.parameters, self.observations)
         return self.parameters
 
+    def sample_sgld_cv(self, epsilon, centering_parameters,
+                       centering_gradient, **kwargs):
+        """SGLD with control variates (`sample_sgld_cv`,
+        `sgmcmc_sampler.py:569-611`): grad = full_grad(center) +
+        subseq_grad(theta) - subseq_grad(center), same subsequence draw."""
+        grad_fn = self._grad_fn(**kwargs)
+        key = self.next_key()
+        cache_key = ("sgld_cv_step", float(epsilon))
+        if cache_key not in self._cache:
+            m = self.model
+            T = self.T
+
+            def step(key, params, obs, c_params, c_grad):
+                new, ll = sgmcmc.sgld_cv_step(
+                    key, params, obs, grad_fn, c_params, c_grad, epsilon, T)
+                return m.project_parameters(new), ll
+
+            self._cache[cache_key] = jax.jit(step)
+        self.parameters, _ = self._cache[cache_key](
+            key, self.parameters, self.observations, centering_parameters,
+            centering_gradient)
+        return self.parameters
+
     def step_adagrad(self, epsilon, **kwargs):
         if not hasattr(self, "_adagrad_state"):
             self._adagrad_state = sgmcmc.adagrad_init(self.parameters)
@@ -251,8 +294,13 @@ class Sampler:
         return self.parameters
 
     def project_parameters(self, **kwargs):
-        self.parameters = self.model.project_parameters(self.parameters,
-                                                        **kwargs)
+        if not kwargs:
+            if "project" not in self._cache:
+                self._cache["project"] = jax.jit(self.model.project_parameters)
+            self.parameters = self._cache["project"](self.parameters)
+        else:
+            self.parameters = self.model.project_parameters(self.parameters,
+                                                            **kwargs)
         return self.parameters
 
     # -- fit ---------------------------------------------------------------
@@ -290,17 +338,31 @@ class Sampler:
         return params_list if output_all else self.parameters
 
     def fit_timed(self, iter_type: str, max_time: float, epsilon: float = 0.1,
-                  steps_per_iteration: int = 1, **kwargs):
-        """Wall-clock-budgeted fit (`fit_timed`, `sgmcmc_sampler.py:723`)."""
+                  steps_per_iteration: int = 1, max_samples: int = 2000,
+                  **kwargs):
+        """Wall-clock-budgeted fit (`fit_timed`, `sgmcmc_sampler.py:723`).
+
+        The recorded trace is adaptively thinned to at most ~2*max_samples
+        entries (keeping every k-th iterate, doubling k as needed) — on
+        remote TPU backends an unthinned multi-thousand-step trace costs
+        more in host transfers than the sampling itself.
+        """
         step = self.get_iter_step(iter_type)
         params_list = [self.parameters]
         times = [0.0]
+        stride, it = 1, 0
         start = time.perf_counter()
         while time.perf_counter() - start < max_time:
             for _ in range(steps_per_iteration):
                 step(epsilon, **kwargs)
-            params_list.append(self.parameters)
-            times.append(time.perf_counter() - start)
+            it += 1
+            if it % stride == 0:
+                params_list.append(self.parameters)
+                times.append(time.perf_counter() - start)
+                if max_samples and len(params_list) > 2 * max_samples:
+                    params_list = params_list[::2]
+                    times = times[::2]
+                    stride *= 2
         return params_list, times
 
     def fit_evaluate(self, iter_type: str, max_time: float,
@@ -553,6 +615,63 @@ class SVMSampler(Sampler):
 class GARCHSampler(Sampler):
     def __init__(self, observations=None, **kw):
         super().__init__("garch", observations, **kw)
+
+
+class SLDSSampler:
+    """Blocked-Gibbs sampler for the switching LDS
+    (`slds/sampler.py`): alternates x | z, z | x, theta | x, z.  The SLDS
+    has no marginal-likelihood gradients (reference contract), so this
+    wrapper manages the latent states alongside the parameters.
+    """
+
+    def __init__(self, observations, num_states=2, n=1, m=1, prior=None,
+                 parameters=None, seed: int = 0):
+        from ..models import slds as slds_mod
+        self._mod = slds_mod
+        self.observations = jnp.asarray(observations)
+        self.prior = prior if prior is not None else slds_mod.default_prior(
+            num_states, n, m, dtype=self.observations.dtype)
+        self._key = jax.random.PRNGKey(seed)
+        self.parameters = (parameters if parameters is not None else
+                           _draw_prior_on_cpu(
+                               slds_mod.sample_prior,
+                               slds_mod.project_parameters, self.prior,
+                               self.next_key()))
+        T = self.observations.shape[0]
+        self.z = jnp.zeros((T,), jnp.int32)
+        self.x = jnp.zeros((T, n), self.observations.dtype)
+        self._gibbs = jax.jit(slds_mod.gibbs_step)
+        self._project = jax.jit(slds_mod.project_parameters)
+
+    def next_key(self):
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+    def sample_gibbs(self):
+        self.parameters, self.x, self.z = self._gibbs(
+            self.next_key(), self.prior, self.parameters, self.observations,
+            self.x, self.z)
+        return self.parameters
+
+    def project_parameters(self):
+        self.parameters = self._project(self.parameters)
+        return self.parameters
+
+    def exact_loglikelihood(self, given: str = "z") -> float:
+        if given == "z":
+            return float(self._mod.x_marginal_loglikelihood(
+                self.parameters, self.observations, self.z))
+        return float(self._mod.z_marginal_loglikelihood(
+            self.parameters, self.observations, self.x))
+
+    def fit(self, num_iters: int, output_all: bool = False):
+        out = [self.parameters] if output_all else None
+        for _ in range(num_iters):
+            self.sample_gibbs()
+            self.project_parameters()
+            if output_all:
+                out.append(self.parameters)
+        return out if output_all else self.parameters
 
 
 class GaussHMMSampler(GibbsSamplerMixin, Sampler):

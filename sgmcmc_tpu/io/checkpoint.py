@@ -82,10 +82,30 @@ def save_dataframe(path: str, df) -> None:
     atomic_write(path, lambda f: f.write(df.to_csv(index=False).encode()))
 
 
+def stack_trace(parameters_list):
+    """Stack a list of parameter pytrees into one pytree with a leading
+    trace axis and fetch it to host in a single transfer (per-element
+    device_get is ruinously slow on remote TPU backends)."""
+    import jax.numpy as jnp
+    stacked = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]),
+        *parameters_list)
+    return jax.device_get(stacked)
+
+
+def unstack_trace(stacked):
+    """Inverse of :func:`stack_trace`: pytree-with-trace-axis -> list."""
+    leaves, treedef = jax.tree_util.tree_flatten(stacked)
+    n = leaves[0].shape[0]
+    return [jax.tree_util.tree_unflatten(
+        treedef, [leaf[i] for leaf in leaves]) for i in range(n)]
+
+
 def save_trace(path: str, parameters_list, times=None) -> None:
     """Persist a parameter trace (list of pytrees) + optional wall times."""
+    stacked = stack_trace(parameters_list)
     save_pickle(path, dict(
-        parameters_list=[tree_to_numpy(p) for p in parameters_list],
+        parameters_list=unstack_trace(stacked),
         times=None if times is None else list(times),
     ))
 

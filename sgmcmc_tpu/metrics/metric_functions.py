@@ -138,3 +138,34 @@ def best_permutation_metric_function_parameters(
         return rows
 
     return metric_fn
+
+
+def metric_compare_z(true_z, num_states: int | None = None) -> Callable:
+    """Discrete-latent recovery metrics — NMI / best-permutation accuracy
+    (`metric_compare_z`, `metric_functions.py:419-438`); requires a sampler
+    exposing latent state probabilities via its model module."""
+    true_z = np.asarray(true_z)
+
+    import jax
+    _distr = [None]
+
+    def metric_fn(sampler):
+        from ..models import gauss_hmm as ghmm
+        if _distr[0] is None:
+            _distr[0] = jax.jit(ghmm.latent_var_distr)
+        probs = np.asarray(_distr[0](sampler.parameters,
+                                     sampler.observations))
+        pred = np.argmax(probs, axis=-1)
+        try:
+            from sklearn.metrics import normalized_mutual_info_score
+            nmi = float(normalized_mutual_info_score(true_z, pred))
+        except ImportError:     # pragma: no cover
+            nmi = float("nan")
+        K = probs.shape[-1]
+        from itertools import permutations
+        acc = max(np.mean(np.take(np.asarray(perm), pred) == true_z)
+                  for perm in permutations(range(K)))
+        return [dict(metric="z_nmi", variable="z", value=nmi),
+                dict(metric="z_accuracy", variable="z", value=float(acc))]
+
+    return metric_fn

@@ -10,6 +10,8 @@ lag-stacked ([T, p+1, m] with slot 0 the current y — `stack_y`,
 """
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -65,14 +67,17 @@ class ARPHMMParams:
 
 
 def from_values(pi, D, R, dtype=jnp.float64) -> ARPHMMParams:
-    pi = jnp.asarray(pi, dtype)
-    D = jnp.asarray(D, dtype)
-    R = jnp.asarray(R, dtype)
+    """Host-NumPy leaves (constructors must not dispatch device ops)."""
+    npdtype = np.dtype(dtype.dtype if hasattr(dtype, "dtype") else dtype)
+    pi = np.asarray(pi, npdtype)
+    D = np.asarray(D, npdtype)
+    R = np.asarray(R, npdtype)
     if R.ndim == 2:
-        R = R[None].repeat(pi.shape[0], axis=0)
-    LRinv = jnp.linalg.cholesky(jnp.linalg.inv(R))
-    return ARPHMMParams(logit_pi=jnp.log(pi + 1e-99), D=D,
-                        LRinv_vec=jax.vmap(mat_to_tril_vector)(LRinv))
+        R = np.repeat(R[None], pi.shape[0], axis=0)
+    LRinv = np.linalg.cholesky(np.linalg.inv(R))
+    rows, cols = np.tril_indices(LRinv.shape[-1])
+    return ARPHMMParams(logit_pi=np.log(pi + 1e-99), D=D,
+                        LRinv_vec=LRinv[:, rows, cols])
 
 
 def stack_y(y: jax.Array, p: int) -> jax.Array:
@@ -221,14 +226,16 @@ class ARPHMMPrior:
 
 def default_prior(num_states: int, m: int, d: int, var: float = 100.0,
                   dtype=jnp.float64) -> ARPHMMPrior:
+    """Host-NumPy leaves (no eager device dispatch)."""
+    npdtype = np.dtype(dtype.dtype if hasattr(dtype, "dtype") else dtype)
     df = m + 1.0 + 1.0 / var
     return ARPHMMPrior(
-        alpha_pi=jnp.full((num_states, num_states), 1.0 / var, dtype),
-        mean_D=jnp.zeros((num_states, m, d), dtype),
-        var_col_D=jnp.full((num_states, d), var, dtype),
-        scale_Rinv=jnp.tile(jnp.eye(m, dtype=dtype) / df,
-                            (num_states, 1, 1)),
-        df_Rinv=jnp.asarray(df, dtype),
+        alpha_pi=np.full((num_states, num_states), 1.0 / var, npdtype),
+        mean_D=np.zeros((num_states, m, d), npdtype),
+        var_col_D=np.full((num_states, d), var, npdtype),
+        scale_Rinv=np.tile(np.eye(m, dtype=npdtype) / df,
+                           (num_states, 1, 1)),
+        df_Rinv=np.asarray(df, npdtype),
     )
 
 
@@ -343,8 +350,10 @@ def correction_term(params: ARPHMMParams) -> ARPHMMParams:
 # Data generation
 # --------------------------------------------------------------------------
 
+@functools.partial(jax.jit, static_argnames=("T",))
 def generate_data(key, params: ARPHMMParams, T: int):
     """Simulate; returns lag-stacked observations [T, p+1, m] and z [T]."""
+    params = jax.tree_util.tree_map(jnp.asarray, params)
     K, m, d = params.D.shape
     p = params.p
     dtype = params.D.dtype

@@ -12,6 +12,8 @@ recursion deterministically (`garch/kernels.py:5-18`).
 """
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 from flax import struct
@@ -74,17 +76,19 @@ class GARCHParams:
 def from_alpha_beta_gamma(alpha, beta, gamma, R, dtype=jnp.float32
                           ) -> GARCHParams:
     """Natural (alpha, beta, gamma, R) -> unconstrained storage
-    (`garch/parameters.py:45-60` convert_alpha_beta_gamma)."""
+    (`garch/parameters.py:45-60` convert_alpha_beta_gamma).
+    Host-NumPy leaves (no eager device dispatch)."""
     import numpy as np
+    npdtype = np.dtype(dtype.dtype if hasattr(dtype, "dtype") else dtype)
     phi = beta + gamma
     mu = alpha / (1.0 - phi)
     lambduh = beta / phi
     return GARCHParams(
-        log_mu=jnp.full((1,), float(np.log(mu)), dtype),
-        logit_phi=jnp.full((1,), float(np.log(phi / (1 - phi))), dtype),
-        logit_lambduh=jnp.full((1,), float(np.log(lambduh / (1 - lambduh))),
-                               dtype),
-        LRinv_vec=jnp.full((1,), float(R) ** -0.5, dtype),
+        log_mu=np.full((1,), float(np.log(mu)), npdtype),
+        logit_phi=np.full((1,), float(np.log(phi / (1 - phi))), npdtype),
+        logit_lambduh=np.full((1,), float(np.log(lambduh / (1 - lambduh))),
+                              npdtype),
+        LRinv_vec=np.full((1,), float(R) ** -0.5, npdtype),
     )
 
 
@@ -256,20 +260,23 @@ class GARCHPrior:
 
 
 def default_prior(var: float = 1.0, dtype=jnp.float32) -> GARCHPrior:
-    """`get_default_kwargs` (`garch_var.py:179-189`): var capped at 1."""
+    """`get_default_kwargs` (`garch_var.py:179-189`): var capped at 1.
+    Host-NumPy leaves (no eager device dispatch)."""
+    import numpy as np
+    npdtype = np.dtype(dtype.dtype if hasattr(dtype, "dtype") else dtype)
     var = min(var, 1.0)
     scale_mu = var + 2.0
     alpha = 1.0 + 19.0 / var
     df_r = 2.0 + 1.0 / var
     return GARCHPrior(
-        scale_mu=jnp.asarray(scale_mu, dtype),
-        shape_mu=jnp.asarray(scale_mu + 1.0, dtype),
-        alpha_phi=jnp.asarray(alpha, dtype),
-        beta_phi=jnp.asarray(alpha / 9.0, dtype),
-        alpha_lambduh=jnp.asarray(alpha, dtype),
-        beta_lambduh=jnp.asarray(alpha / 9.0, dtype),
-        scale_Rinv=jnp.full((1, 1), 1.0 / df_r, dtype),
-        df_Rinv=jnp.asarray(df_r, dtype),
+        scale_mu=np.asarray(scale_mu, npdtype),
+        shape_mu=np.asarray(scale_mu + 1.0, npdtype),
+        alpha_phi=np.asarray(alpha, npdtype),
+        beta_phi=np.asarray(alpha / 9.0, npdtype),
+        alpha_lambduh=np.asarray(alpha, npdtype),
+        beta_lambduh=np.asarray(alpha / 9.0, npdtype),
+        scale_Rinv=np.full((1, 1), 1.0 / df_r, npdtype),
+        df_Rinv=np.asarray(df_r, npdtype),
     )
 
 
@@ -332,6 +339,7 @@ def project_parameters(params: GARCHParams) -> GARCHParams:
 # Data generation (`garch/parameters.py:74-139`)
 # --------------------------------------------------------------------------
 
+@functools.partial(jax.jit, static_argnames=("T",))
 def generate_data(key, params: GARCHParams, T: int):
     """Simulate (observations [T, 1], latent x [T, 1])."""
     dtype = params.log_mu.dtype

@@ -10,6 +10,8 @@ Exact discrete message passing lives in `sgmcmc_tpu.ops.hmm`.
 """
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -57,16 +59,19 @@ class GaussHMMParams:
 
 
 def from_values(pi, mu, R, dtype=jnp.float64) -> GaussHMMParams:
-    pi = jnp.asarray(pi, dtype)
-    mu = jnp.atleast_2d(jnp.asarray(mu, dtype))
-    R = jnp.asarray(R, dtype)
+    """Host-NumPy leaves (constructors must not dispatch device ops)."""
+    npdtype = np.dtype(dtype.dtype if hasattr(dtype, "dtype") else dtype)
+    pi = np.asarray(pi, npdtype)
+    mu = np.atleast_2d(np.asarray(mu, npdtype))
+    R = np.asarray(R, npdtype)
     if R.ndim == 2:
-        R = R[None].repeat(pi.shape[0], axis=0)
-    LRinv = jnp.linalg.cholesky(jnp.linalg.inv(R))
+        R = np.repeat(R[None], pi.shape[0], axis=0)
+    LRinv = np.linalg.cholesky(np.linalg.inv(R))
+    rows, cols = np.tril_indices(LRinv.shape[-1])
     return GaussHMMParams(
-        logit_pi=jnp.log(pi + 1e-99),
+        logit_pi=np.log(pi + 1e-99),
         mu=mu,
-        LRinv_vec=jax.vmap(mat_to_tril_vector)(LRinv),
+        LRinv_vec=LRinv[:, rows, cols],
     )
 
 
@@ -214,14 +219,16 @@ class GaussHMMPrior:
 
 def default_prior(num_states: int, m: int = 1, var: float = 100.0,
                   dtype=jnp.float64) -> GaussHMMPrior:
+    """Host-NumPy leaves (no eager device dispatch)."""
+    npdtype = np.dtype(dtype.dtype if hasattr(dtype, "dtype") else dtype)
     df = m + 1.0 + 1.0 / var
     return GaussHMMPrior(
-        alpha_pi=jnp.full((num_states, num_states), 1.0 / var, dtype),
-        mean_mu=jnp.zeros((num_states, m), dtype),
-        var_col_mu=jnp.full((num_states,), var, dtype),
-        scale_Rinv=jnp.tile(jnp.eye(m, dtype=dtype) / df,
-                            (num_states, 1, 1)),
-        df_Rinv=jnp.asarray(df, dtype),
+        alpha_pi=np.full((num_states, num_states), 1.0 / var, npdtype),
+        mean_mu=np.zeros((num_states, m), npdtype),
+        var_col_mu=np.full((num_states,), var, npdtype),
+        scale_Rinv=np.tile(np.eye(m, dtype=npdtype) / df,
+                           (num_states, 1, 1)),
+        df_Rinv=np.asarray(df, npdtype),
     )
 
 
@@ -411,7 +418,9 @@ def gibbs_step(key, prior, params, observations):
 # Data generation (`gauss_hmm/parameters.py:60-...`)
 # --------------------------------------------------------------------------
 
+@functools.partial(jax.jit, static_argnames=("T",))
 def generate_data(key, params: GaussHMMParams, T: int):
+    params = jax.tree_util.tree_map(jnp.asarray, params)
     K, m = params.mu.shape
     dtype = params.mu.dtype
     kz, ky, k0 = jax.random.split(key, 3)

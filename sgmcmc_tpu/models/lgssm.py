@@ -14,6 +14,8 @@ updates (`lgssm/helper.py:502-555`, `variables/covariance.py:207-240`,
 """
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -74,14 +76,19 @@ class LGSSMParams:
 
 
 def from_matrices(A, C, Q, R, dtype=jnp.float64) -> LGSSMParams:
-    A = jnp.atleast_2d(jnp.asarray(A, dtype))
-    C = jnp.atleast_2d(jnp.asarray(C, dtype))
-    Q = jnp.atleast_2d(jnp.asarray(Q, dtype))
-    R = jnp.atleast_2d(jnp.asarray(R, dtype))
-    LQinv = jnp.linalg.cholesky(jnp.linalg.inv(Q))
-    LRinv = jnp.linalg.cholesky(jnp.linalg.inv(R))
-    return LGSSMParams(A=A, C=C, LQinv_vec=mat_to_tril_vector(LQinv),
-                       LRinv_vec=mat_to_tril_vector(LRinv))
+    """Host-NumPy leaves (constructors must not dispatch device ops)."""
+    import numpy as onp
+    npdtype = onp.dtype(dtype.dtype if hasattr(dtype, "dtype") else dtype)
+    A = onp.atleast_2d(onp.asarray(A, npdtype))
+    C = onp.atleast_2d(onp.asarray(C, npdtype))
+    Q = onp.atleast_2d(onp.asarray(Q, npdtype))
+    R = onp.atleast_2d(onp.asarray(R, npdtype))
+    LQinv = onp.linalg.cholesky(onp.linalg.inv(Q))
+    LRinv = onp.linalg.cholesky(onp.linalg.inv(R))
+    rows_q, cols_q = onp.tril_indices(LQinv.shape[-1])
+    rows_r, cols_r = onp.tril_indices(LRinv.shape[-1])
+    return LGSSMParams(A=A, C=C, LQinv_vec=LQinv[rows_q, cols_q],
+                       LRinv_vec=LRinv[rows_r, cols_r])
 
 
 def default_forward_message(params: LGSSMParams) -> kalman.GaussianMessage:
@@ -408,17 +415,20 @@ class LGSSMPrior:
 
 def default_prior(n: int = 1, m: int = 1, var: float = 100.0,
                   dtype=jnp.float64) -> LGSSMPrior:
+    """Host-NumPy leaves (no eager device dispatch)."""
+    import numpy as onp
+    npdtype = onp.dtype(dtype.dtype if hasattr(dtype, "dtype") else dtype)
     df_q = n + 1.0 + 1.0 / var
     df_r = m + 1.0 + 1.0 / var
     return LGSSMPrior(
-        mean_A=jnp.zeros((n, n), dtype),
-        var_col_A=jnp.full((n,), var, dtype),
-        mean_C=jnp.zeros((m, n), dtype),
-        var_col_C=jnp.full((n,), var, dtype),
-        scale_Qinv=jnp.eye(n, dtype=dtype) / df_q,
-        df_Qinv=jnp.asarray(df_q, dtype),
-        scale_Rinv=jnp.eye(m, dtype=dtype) / df_r,
-        df_Rinv=jnp.asarray(df_r, dtype),
+        mean_A=onp.zeros((n, n), npdtype),
+        var_col_A=onp.full((n,), var, npdtype),
+        mean_C=onp.zeros((m, n), npdtype),
+        var_col_C=onp.full((n,), var, npdtype),
+        scale_Qinv=onp.eye(n, dtype=npdtype) / df_q,
+        df_Qinv=onp.asarray(df_q, npdtype),
+        scale_Rinv=onp.eye(m, dtype=npdtype) / df_r,
+        df_Rinv=onp.asarray(df_r, npdtype),
     )
 
 
@@ -613,6 +623,7 @@ def gibbs_step(key, prior: LGSSMPrior, params: LGSSMParams, observations,
 # Data generation
 # --------------------------------------------------------------------------
 
+@functools.partial(jax.jit, static_argnames=("T",))
 def generate_data(key, params: LGSSMParams, T: int):
     """Simulate (observations [T, m], latent [T, n])."""
     dtype = params.A.dtype

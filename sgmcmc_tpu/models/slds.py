@@ -13,6 +13,8 @@ raises unless one latent is supplied (`slds/helper.py:1188-1254`).
 """
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -79,17 +81,21 @@ class SLDSParams:
 
 
 def from_values(pi, A, Q, C, R, dtype=jnp.float64) -> SLDSParams:
-    A = jnp.asarray(A, dtype)
-    Q = jnp.asarray(Q, dtype)
-    LQinv = jnp.linalg.cholesky(jnp.linalg.inv(Q))
-    LRinv = jnp.linalg.cholesky(jnp.linalg.inv(jnp.atleast_2d(
-        jnp.asarray(R, dtype))))
+    """Host-NumPy leaves (constructors must not dispatch device ops)."""
+    npdtype = np.dtype(dtype.dtype if hasattr(dtype, "dtype") else dtype)
+    A = np.asarray(A, npdtype)
+    Q = np.asarray(Q, npdtype)
+    LQinv = np.linalg.cholesky(np.linalg.inv(Q))
+    LRinv = np.linalg.cholesky(np.linalg.inv(np.atleast_2d(
+        np.asarray(R, npdtype))))
+    rows_q, cols_q = np.tril_indices(LQinv.shape[-1])
+    rows_r, cols_r = np.tril_indices(LRinv.shape[-1])
     return SLDSParams(
-        logit_pi=jnp.log(jnp.asarray(pi, dtype) + 1e-99),
+        logit_pi=np.log(np.asarray(pi, npdtype) + 1e-99),
         A=A,
-        LQinv_vec=jax.vmap(mat_to_tril_vector)(LQinv),
-        C=jnp.atleast_2d(jnp.asarray(C, dtype)),
-        LRinv_vec=mat_to_tril_vector(LRinv),
+        LQinv_vec=LQinv[:, rows_q, cols_q],
+        C=np.atleast_2d(np.asarray(C, npdtype)),
+        LRinv_vec=LRinv[rows_r, cols_r],
     )
 
 
@@ -293,19 +299,21 @@ class SLDSPrior:
 
 def default_prior(num_states: int, n: int = 1, m: int = 1,
                   var: float = 100.0, dtype=jnp.float64) -> SLDSPrior:
+    """Host-NumPy leaves (no eager device dispatch)."""
+    npdtype = np.dtype(dtype.dtype if hasattr(dtype, "dtype") else dtype)
     df_q = n + 1.0 + 1.0 / var
     df_r = m + 1.0 + 1.0 / var
     return SLDSPrior(
-        alpha_pi=jnp.full((num_states, num_states), 1.0 / var, dtype),
-        mean_A=jnp.zeros((num_states, n, n), dtype),
-        var_col_A=jnp.full((num_states, n), var, dtype),
-        scale_Qinv=jnp.tile(jnp.eye(n, dtype=dtype) / df_q,
-                            (num_states, 1, 1)),
-        df_Qinv=jnp.asarray(df_q, dtype),
-        mean_C=jnp.zeros((m, n), dtype),
-        var_col_C=jnp.full((n,), var, dtype),
-        scale_Rinv=jnp.eye(m, dtype=dtype) / df_r,
-        df_Rinv=jnp.asarray(df_r, dtype),
+        alpha_pi=np.full((num_states, num_states), 1.0 / var, npdtype),
+        mean_A=np.zeros((num_states, n, n), npdtype),
+        var_col_A=np.full((num_states, n), var, npdtype),
+        scale_Qinv=np.tile(np.eye(n, dtype=npdtype) / df_q,
+                           (num_states, 1, 1)),
+        df_Qinv=np.asarray(df_q, npdtype),
+        mean_C=np.zeros((m, n), npdtype),
+        var_col_C=np.full((n,), var, npdtype),
+        scale_Rinv=np.eye(m, dtype=npdtype) / df_r,
+        df_Rinv=np.asarray(df_r, npdtype),
     )
 
 
@@ -426,8 +434,10 @@ def project_parameters(params: SLDSParams, a_threshold: float = 0.9999,
                       C=C, LRinv_vec=mat_to_tril_vector(LR))
 
 
+@functools.partial(jax.jit, static_argnames=("T",))
 def generate_data(key, params: SLDSParams, T: int):
     """Simulate (y [T, m], x [T, n], z [T])."""
+    params = jax.tree_util.tree_map(jnp.asarray, params)
     K, n = params.num_states, params.n
     m = params.m
     dtype = params.A.dtype

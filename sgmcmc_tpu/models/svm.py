@@ -12,6 +12,8 @@ reference experiment; latent particles have shape [N, 1].
 """
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 from flax import struct
@@ -75,11 +77,18 @@ class SVMParams:
 
 
 def from_scalars(A: float, Q: float, R: float, dtype=jnp.float32) -> SVMParams:
-    """Build params from natural (A, Q, R) scalars."""
+    """Build params from natural (A, Q, R) scalars.
+
+    Leaves are host NumPy arrays: constructors must not dispatch device ops
+    (eager dispatch is pathologically slow on tunneled TPU backends); the
+    first jitted use transfers them.
+    """
+    import numpy as onp
+    npdtype = onp.dtype(dtype.dtype if hasattr(dtype, "dtype") else dtype)
     return SVMParams(
-        A=jnp.full((1, 1), A, dtype),
-        LQinv_vec=jnp.full((1,), Q ** -0.5, dtype),
-        LRinv_vec=jnp.full((1,), R ** -0.5, dtype),
+        A=onp.full((1, 1), A, npdtype),
+        LQinv_vec=onp.full((1,), Q ** -0.5, npdtype),
+        LRinv_vec=onp.full((1,), R ** -0.5, npdtype),
     )
 
 
@@ -328,15 +337,18 @@ class SVMPrior:
 
 def default_prior(var: float = 100.0, dtype=jnp.float32) -> SVMPrior:
     """`generate_default_prior` semantics (`base_parameters.py:207-213`,
-    helper defaults `matrices.py` / `covariance.py:275-284`)."""
+    helper defaults `matrices.py` / `covariance.py:275-284`).
+    Host-NumPy leaves (no eager device dispatch)."""
+    import numpy as onp
+    npdtype = onp.dtype(dtype.dtype if hasattr(dtype, "dtype") else dtype)
     df = 2.0 + 1.0 / var
     return SVMPrior(
-        mean_A=jnp.zeros((1, 1), dtype),
-        var_col_A=jnp.full((1,), var, dtype),
-        scale_Qinv=jnp.full((1, 1), 1.0 / df, dtype),
-        df_Qinv=jnp.asarray(df, dtype),
-        scale_Rinv=jnp.full((1, 1), 1.0 / df, dtype),
-        df_Rinv=jnp.asarray(df, dtype),
+        mean_A=onp.zeros((1, 1), npdtype),
+        var_col_A=onp.full((1,), var, npdtype),
+        scale_Qinv=onp.full((1, 1), 1.0 / df, npdtype),
+        df_Qinv=onp.asarray(df, npdtype),
+        scale_Rinv=onp.full((1, 1), 1.0 / df, npdtype),
+        df_Rinv=onp.asarray(df, npdtype),
     )
 
 
@@ -405,6 +417,7 @@ def project_parameters(params: SVMParams, a_threshold: float = 0.9999) -> SVMPar
 # Data generation (`svm/parameters.py:75-135`)
 # --------------------------------------------------------------------------
 
+@functools.partial(jax.jit, static_argnames=("T",))
 def generate_data(key, params: SVMParams, T: int):
     """Simulate (observations [T, 1], latent [T, 1]) from the SVM."""
     k0, kx, ky = jax.random.split(key, 3)

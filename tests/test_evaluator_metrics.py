@@ -1,0 +1,101 @@
+"""Evaluators + metric functions: rows, ordering, averaging, KSD."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sgmcmc_tpu.evaluation import evaluator as ev
+from sgmcmc_tpu.metrics import metric_functions as mf
+from sgmcmc_tpu.metrics.ksd import imq_ksd
+from sgmcmc_tpu.models import svm
+
+
+def make_sampler():
+    from sgmcmc_tpu.inference.samplers import SVMSampler
+    true = svm.from_scalars(A=0.9, Q=0.5, R=1.0, dtype=jnp.float64)
+    ys, _ = svm.generate_data(jax.random.PRNGKey(0), true, 60)
+    return SVMSampler(observations=ys, parameters=true, seed=1), true
+
+
+def test_metric_and_sample_functions_rows():
+    s, true = make_sampler()
+    fn = mf.metric_function_parameters(true, ["A", "LQinv_vec"], "mse")
+    rows = fn(s)
+    assert len(rows) == 2
+    assert all(r["value"] == 0.0 for r in rows)   # params == target
+    sfn = mf.sample_function_parameters(["A"])
+    srows = sfn(s)
+    assert srows[0]["value"] == 0.9
+
+
+def test_sampler_evaluator_records_runtime():
+    s, true = make_sampler()
+    e = ev.SamplerEvaluator(
+        s, metric_functions=[mf.metric_function_parameters(true, ["A"])])
+    e.evaluate_sampler_step(["sample_sgld", "project_parameters"],
+                            [dict(epsilon=0.01, N=32,
+                                  subsequence_length=16, buffer_length=2),
+                             {}])
+    df = e.get_metrics()
+    assert "runtime" in set(df["metric"])
+    state = e.save_state()
+    e2 = ev.SamplerEvaluator(s, init_state=state)
+    assert e2.iteration == 1
+
+
+def test_offline_evaluator_bisection_order():
+    s, true = make_sampler()
+    trace = [true] * 9
+    e = ev.OfflineEvaluator(
+        s, trace, metric_functions=[mf.metric_function_parameters(
+            true, ["A"])])
+    e.evaluate(num_to_eval=3)
+    done = np.flatnonzero(e.eval_flag)
+    assert 0 in done and 8 in done and 4 in done   # first, last, midpoint
+    e.evaluate()
+    assert e.eval_flag.all()
+
+
+def test_half_average_parameters_list():
+    import types
+    trace = [svm.from_scalars(A=a, Q=1.0, R=1.0, dtype=jnp.float64)
+             for a in [0.0, 1.0, 2.0, 3.0]]
+    avg = ev.half_average_parameters_list(trace)
+    # index i averages over the most recent ceil((i+1)/2) entries
+    np.testing.assert_allclose(float(avg[3].A[0, 0]), (2.0 + 3.0) / 2)
+    np.testing.assert_allclose(float(avg[1].A[0, 0]), 1.0)
+
+
+def test_imq_ksd_decreases_for_better_samples():
+    """Samples from the target (with exact scores) should have lower KSD
+    than shifted samples."""
+    key = jax.random.PRNGKey(0)
+    x_good = jax.random.normal(key, (300, 2), jnp.float64)
+    x_bad = x_good + 2.0
+    score = lambda x: -x     # standard normal score
+    good = float(imq_ksd(x_good, score(x_good)))
+    bad = float(imq_ksd(x_bad, score(x_bad)))
+    assert good < bad, (good, bad)
+
+
+def test_ksd_blocking_invariance():
+    key = jax.random.PRNGKey(1)
+    x = jax.random.normal(key, (100, 3), jnp.float64)
+    g = -x
+    a = float(imq_ksd(x, g, max_block_size=512))
+    b = float(imq_ksd(x, g, max_block_size=32))
+    np.testing.assert_allclose(a, b, rtol=1e-9)
+
+
+def test_ks_test_traces():
+    from sgmcmc_tpu.metrics.ks_test import ks_test_traces
+    rng = np.random.default_rng(0)
+    t1 = [svm.from_scalars(A=a, Q=1.0, R=1.0, dtype=jnp.float64)
+          for a in rng.normal(0.9, 0.05, 60)]
+    t2 = [svm.from_scalars(A=a, Q=1.0, R=1.0, dtype=jnp.float64)
+          for a in rng.normal(0.9, 0.05, 60)]
+    t3 = [svm.from_scalars(A=a, Q=1.0, R=1.0, dtype=jnp.float64)
+          for a in rng.normal(0.3, 0.05, 60)]
+    same = ks_test_traces(t1, t2, ["A"])
+    diff = ks_test_traces(t1, t3, ["A"])
+    assert same[0]["pvalue"] > 0.01
+    assert diff[0]["pvalue"] < 0.01

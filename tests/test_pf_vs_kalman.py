@@ -124,3 +124,37 @@ def test_buffered_gradient_bias_decreases_with_buffer(setup):
         biases[B] = np.linalg.norm(stats.mean(axis=0) - expected)
     assert biases[11] < biases[0], biases
     assert biases[4] <= biases[0] * 1.2, biases
+
+
+def test_vector_lgssm_pf_gradient_matches_kalman():
+    """General-n path: 2-D latent LGSSM PF score vs exact Kalman gradient."""
+    import numpy as onp
+    rng = onp.random.default_rng(0)
+    A = onp.array([[0.7, 0.1], [0.0, 0.5]])
+    C = onp.eye(2)
+    Q = onp.array([[0.5, 0.1], [0.1, 0.4]])
+    R = onp.eye(2) * 0.6
+    params = lgssm.from_matrices(A, C, Q, R)
+    ys, _ = lgssm.generate_data(jax.random.PRNGKey(1), params, 15)
+    exact = lgssm.gradient_marginal_loglikelihood(params, ys)
+    from jax.flatten_util import ravel_pytree
+
+    def one(k):
+        return buffered.run_buffered_pf(
+            lgssm.get_kernel("optimal"), lgssm.grad_statistic, params, ys,
+            key=k, n_particles=1000,
+            statistic_dim=lgssm.statistic_dim(2, 2),
+            smoother="poyiadjis_N",
+            prior_mean=jnp.zeros(2, ys.dtype),
+            prior_var=10.0 * jnp.eye(2, dtype=ys.dtype)).mean_statistic
+
+    stats = np.asarray(jax.jit(jax.vmap(one))(
+        jax.random.split(jax.random.PRNGKey(2), 12)))
+    mean_stat = stats.mean(axis=0)
+    se = stats.std(axis=0) / np.sqrt(12)
+    expected = np.concatenate([
+        np.asarray(exact.LRinv_vec), np.asarray(exact.LQinv_vec),
+        np.asarray(exact.C).ravel(), np.asarray(exact.A).ravel()])
+    err = np.abs(mean_stat - expected)
+    assert np.all(err < 6 * se + 0.08 * np.abs(expected) + 0.08), (
+        mean_stat, expected)

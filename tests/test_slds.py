@@ -71,8 +71,9 @@ def test_complete_data_gradient_finite_and_consistent():
         assert np.all(np.isfinite(np.asarray(leaf)))
     # numerical check on one coordinate
     eps = 1e-6
-    p_plus = params.replace(C=params.C.at[0, 0].add(eps))
-    p_minus = params.replace(C=params.C.at[0, 0].add(-eps))
+    C = jnp.asarray(params.C)
+    p_plus = params.replace(C=C.at[0, 0].add(eps))
+    p_minus = params.replace(C=C.at[0, 0].add(-eps))
     fd = (float(slds.complete_data_loglikelihood(p_plus, ys, xs, zs))
           - float(slds.complete_data_loglikelihood(p_minus, ys, xs, zs))
           ) / (2 * eps)
@@ -102,3 +103,15 @@ def test_blocked_gibbs_runs_and_stays_finite():
         p = slds.project_parameters(p)
     for leaf in jax.tree_util.tree_leaves(p):
         assert np.all(np.isfinite(np.asarray(leaf)))
+
+
+def test_slds_sampler_class():
+    from sgmcmc_tpu.inference.samplers import SLDSSampler
+    params = make_params(K=2, n=1, m=1, seed=9)
+    ys, xs, zs = slds.generate_data(jax.random.PRNGKey(10), params, 150)
+    s = SLDSSampler(observations=ys, num_states=2, n=1, m=1, seed=11)
+    s.fit(8)
+    assert np.isfinite(s.exact_loglikelihood(given="z"))
+    assert np.isfinite(s.exact_loglikelihood(given="x"))
+    trace = s.fit(3, output_all=True)
+    assert len(trace) == 4
