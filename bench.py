@@ -66,13 +66,15 @@ def main():
         lambda x: jnp.broadcast_to(x, (N_CHAINS,) + x.shape).copy(),
         svm.from_scalars(A=0.5, Q=1.0, R=2.0))
 
-    # warm-up (compile)
+    # warm-up (compile); sync via a host transfer of a value depending on
+    # the full computation — block_until_ready on the remote (axon) backend
+    # returns before execution finishes, which inflates throughput ~10^4x.
     p, ll = fit(keys, params0, ys)
-    jax.block_until_ready(p)
+    float(jnp.sum(ll[-1]))
 
     t0 = time.perf_counter()
     p, ll = fit(keys, p, ys)
-    jax.block_until_ready(p)
+    float(jnp.sum(ll[-1]))
     dt = time.perf_counter() - t0
 
     steps_per_s = N_CHAINS * ITERS / dt

@@ -74,11 +74,17 @@ def main():
         keys = sharding.shard_chain_states(mesh, keys)
         params0 = sharding.shard_chain_states(mesh, params0)
 
+        def sync(tree):
+            # block_until_ready on the remote (axon) backend returns before
+            # execution finishes; transfer one scalar to truly synchronize.
+            leaf = jax.tree_util.tree_leaves(tree)[0]
+            return float(jnp.sum(leaf.ravel()[:1]))
+
         out = fit(keys, params0, ys)
-        jax.block_until_ready(out)
+        sync(out)
         t0 = time.perf_counter()
         out = fit(keys, params0, ys)
-        jax.block_until_ready(out)
+        sync(out)
         dt = time.perf_counter() - t0
         sps = n_chains * args.iters / dt
         results[n_dev] = sps
