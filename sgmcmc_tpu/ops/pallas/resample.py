@@ -87,6 +87,252 @@ def resample_apply_pallas(pos: jax.Array, cdf: jax.Array, vals: jax.Array,
     return out_t.T
 
 
+# ---------------------------------------------------------------------------
+# Two-level (hierarchical) one-hot resample-apply
+# ---------------------------------------------------------------------------
+#
+# The dense kernel above costs O(N^2) compares on the VPU plus an
+# effectively O(N^2 * 128) MXU contraction (the K value-rows pad to a full
+# 128-row tile).  The two-level kernel splits the ancestor index as
+# idx = s*b + o (B = N/s blocks of s particles):
+#
+#   1. block one-hot  B1[p, i] = [b_i == p] from compares against the B-1
+#      block-boundary CDF values (exact f32),
+#   2. ONE matmul  G = W1 @ B1  gathers, per output particle, its block's
+#      s values (bf16 hi/lo split) AND the block's s CDF entries (bf16
+#      hi/mid/lo split — three bf16 pieces reconstruct any f32 exactly,
+#      so within-block compares remain bitwise-exact),
+#   3. within-block one-hot from s exact compares and an s-row reduction.
+#
+# Cost: O(N*B) compares + an [s*(2K+3), B] x [B, N] matmul — about 8x fewer
+# MXU tiles and 8x fewer VPU compares than the dense kernel at N=1024, with
+# identical (gather) selection semantics.
+
+def _split3(x32: jax.Array):
+    """Three bf16 pieces whose ordered f32 sum reconstructs x32 bitwise."""
+    hi = x32.astype(jnp.bfloat16)
+    r1 = x32 - hi.astype(jnp.float32)
+    mid = r1.astype(jnp.bfloat16)
+    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, mid, lo
+
+
+def _two_level_operands(cdf: jax.Array, vals: jax.Array, s: int):
+    """Build the fused gather matrix W1 [(2K+3)s, B] and boundaries [B, 1].
+
+    W1 rows: K*s value-hi rows, K*s value-lo rows, then 3*s CDF piece rows;
+    W1[k*s + q, p] = piece(vals[s*p + q, k]), cdf rows analogous.
+    """
+    N, K = vals.shape
+    B = N // s
+    v32 = vals.astype(jnp.float32)
+    vhi = v32.astype(jnp.bfloat16)
+    vlo = (v32 - vhi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    def value_rows(x):                       # [N, K] -> [K*s, B]
+        return x.reshape(B, s, K).transpose(2, 1, 0).reshape(K * s, B)
+
+    c32 = cdf.astype(jnp.float32)
+    chi, cmid, clo = _split3(c32)
+
+    def cdf_rows(c):                         # [N] -> [s, B]
+        return c.reshape(B, s).T
+
+    W1 = jnp.concatenate([
+        value_rows(vhi), value_rows(vlo),
+        cdf_rows(chi), cdf_rows(cmid), cdf_rows(clo)], axis=0)
+    bnd = jnp.concatenate([
+        c32[s - 1::s][:B - 1],
+        jnp.full((1,), jnp.inf, jnp.float32)])
+    return W1, bnd[:, None]
+
+
+def _resample2_kernel(s: int, K: int, pos_ref, bnd_ref, w1_ref, out_ref):
+    """One N-tile: two-level selection entirely in VMEM.
+
+    pos [1, TN] f32; bnd [B, 1] f32; w1 [(2K+3)s, B] bf16; out [K, TN] f32.
+    """
+    pos = pos_ref[:]                                   # [1, TN]
+    bnd = bnd_ref[:]                                   # [B, 1]
+    M1 = (pos >= bnd).astype(jnp.bfloat16)             # [B, TN]
+    ones = jnp.ones_like(M1[:1])
+    B1 = jnp.concatenate([ones, M1[:-1]], axis=0) - M1  # block one-hot
+    G = jax.lax.dot_general(w1_ref[:], B1, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    Ks = K * s
+    vals = G[:Ks] + G[Ks:2 * Ks]                       # [K*s, TN] f32
+    c = (G[2 * Ks:2 * Ks + s] + G[2 * Ks + s:2 * Ks + 2 * s]) \
+        + G[2 * Ks + 2 * s:2 * Ks + 3 * s]             # exact f32 cdf rows
+    M2 = (pos >= c).astype(jnp.float32)                # [s, TN]
+    ones2 = jnp.ones_like(M2[:1])
+    P2 = jnp.concatenate([ones2, M2[:-1]], axis=0) - M2
+    Z = vals * jnp.concatenate([P2] * K, axis=0)       # [K*s, TN]
+    out_ref[:] = Z.reshape(K, s, Z.shape[-1]).sum(axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("s", "tile", "interpret"))
+def resample_apply_pallas2(pos: jax.Array, cdf: jax.Array, vals: jax.Array,
+                           s: int = 8, tile: int = 1024,
+                           interpret: bool = False) -> jax.Array:
+    """Two-level fused resample-apply; same selection semantics as gather."""
+    N, K = vals.shape
+    assert N % s == 0, "two-level kernel needs N divisible by s"
+    B = N // s
+    W1, bnd = _two_level_operands(cdf, vals, s)
+    tile = min(tile, N)
+    grid = (N // tile,)
+    R = W1.shape[0]
+    out_t = pl.pallas_call(
+        functools.partial(_resample2_kernel, s, K),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, B), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((K, tile), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((K, N), jnp.float32),
+        interpret=interpret,
+    )(pos.reshape(1, N).astype(jnp.float32), bnd, W1)
+    return out_t.T
+
+
+def _resample2_batched_kernel(s: int, K: int, pos_ref, bnd_ref, w1_ref,
+                              out_ref):
+    """CB chains per grid point — amortizes per-invocation overhead.
+
+    pos [CB, 1, TN]; bnd [CB, B, 1]; w1 [CB, R, B]; out [CB, K, TN].
+    """
+    pos = pos_ref[:]
+    bnd = bnd_ref[:]
+    M1 = (pos >= bnd).astype(jnp.bfloat16)              # [CB, B, TN]
+    ones = jnp.ones_like(M1[:, :1])
+    B1 = jnp.concatenate([ones, M1[:, :-1]], axis=1) - M1
+    G = jax.lax.dot_general(w1_ref[:], B1,
+                            (((2,), (1,)), ((0,), (0,))),
+                            preferred_element_type=jnp.float32)
+    Ks = K * s
+    vals = G[:, :Ks] + G[:, Ks:2 * Ks]                  # [CB, K*s, TN]
+    c = (G[:, 2 * Ks:2 * Ks + s] + G[:, 2 * Ks + s:2 * Ks + 2 * s]) \
+        + G[:, 2 * Ks + 2 * s:2 * Ks + 3 * s]
+    M2 = (pos >= c).astype(jnp.float32)                 # [CB, s, TN]
+    ones2 = jnp.ones_like(M2[:, :1])
+    P2 = jnp.concatenate([ones2, M2[:, :-1]], axis=1) - M2
+    Z = vals * jnp.concatenate([P2] * K, axis=1)        # [CB, K*s, TN]
+    CB, _, TN = Z.shape
+    out_ref[:] = Z.reshape(CB, K, s, TN).sum(axis=2)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("s", "chain_block", "interpret"))
+def resample_apply_pallas2_batched(pos: jax.Array, cdf: jax.Array,
+                                   vals: jax.Array, s: int = 8,
+                                   chain_block: int = 4,
+                                   interpret: bool = False) -> jax.Array:
+    """Chain-batched two-level resample-apply.
+
+    pos [C, N]; cdf [C, N]; vals [C, N, K] -> [C, N, K].  Grid is
+    (C / chain_block,); each grid point resamples ``chain_block`` chains.
+    """
+    C, N, K = vals.shape
+    assert N % s == 0 and C % chain_block == 0
+    B = N // s
+    W1, bnd = jax.vmap(lambda c, v: _two_level_operands(c, v, s))(cdf, vals)
+    R = W1.shape[1]
+    CB = chain_block
+    out = pl.pallas_call(
+        functools.partial(_resample2_batched_kernel, s, K),
+        grid=(C // CB,),
+        in_specs=[
+            pl.BlockSpec((CB, 1, N), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((CB, B, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((CB, R, B), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((CB, K, N), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((C, K, N), jnp.float32),
+        interpret=interpret,
+    )(pos.reshape(C, 1, N).astype(jnp.float32), bnd, W1)
+    return out.transpose(0, 2, 1)
+
+
+def _pick_chain_block(C: int, n: int) -> int:
+    """Largest power-of-two block <= 8 dividing C, bounded by VMEM at
+    large N (the [CB, B, N] one-hot and [CB, 128, N] G must fit)."""
+    cap = max(1, min(8, (4096 * 1024) // max(n * n // 2, 1) or 1))
+    cb = 1
+    while cb * 2 <= min(8, C) and C % (cb * 2) == 0 and cb * 2 <= cap:
+        cb *= 2
+    return cb
+
+
+@jax.custom_batching.custom_vmap
+def _resample2_auto(pos, cdf, vals):
+    """Two-level resample-apply whose vmap collapses into the
+    chain-batched kernel (one grid point per `chain_block` chains)."""
+    return resample_apply_pallas2(pos, cdf, vals, s=TWO_LEVEL_S)
+
+
+@jax.custom_batching.custom_vmap
+def _resample2_flat(pos, cdf, vals):
+    C, N, K = vals.shape
+    return resample_apply_pallas2_batched(
+        pos, cdf, vals, s=TWO_LEVEL_S,
+        chain_block=_pick_chain_block(C, N))
+
+
+def _bcast(x, batched, axis_size):
+    return x if batched else jnp.broadcast_to(x, (axis_size,) + x.shape)
+
+
+@_resample2_auto.def_vmap
+def _resample2_auto_vmap(axis_size, in_batched, pos, cdf, vals):
+    pos = _bcast(pos, in_batched[0], axis_size)
+    cdf = _bcast(cdf, in_batched[1], axis_size)
+    vals = _bcast(vals, in_batched[2], axis_size)
+    return _resample2_flat(pos, cdf, vals), True
+
+
+@_resample2_flat.def_vmap
+def _resample2_flat_vmap(axis_size, in_batched, pos, cdf, vals):
+    """Nested vmaps flatten into one big chain batch."""
+    pos = _bcast(pos, in_batched[0], axis_size)
+    cdf = _bcast(cdf, in_batched[1], axis_size)
+    vals = _bcast(vals, in_batched[2], axis_size)
+    C2, C1 = vals.shape[:2]
+    out = _resample2_flat(pos.reshape(C2 * C1, -1),
+                          cdf.reshape(C2 * C1, -1),
+                          vals.reshape((C2 * C1,) + vals.shape[2:]))
+    return out.reshape((C2, C1) + out.shape[1:]), True
+
+
+def resample_apply_xla2(pos: jax.Array, cdf: jax.Array, vals: jax.Array,
+                        s: int = 8) -> jax.Array:
+    """Pure-XLA mirror of the two-level arithmetic (CPU-testable)."""
+    N, K = vals.shape
+    B = N // s
+    W1, bnd = _two_level_operands(cdf, vals, s)
+    pos32 = pos.astype(jnp.float32)[None, :]            # [1, N]
+    M1 = (pos32 >= bnd).astype(jnp.float32)             # [B, N]
+    B1 = jnp.concatenate([jnp.ones_like(M1[:1]), M1[:-1]], axis=0) - M1
+    G = W1.astype(jnp.float32) @ B1                     # [(2K+3)s, N]
+    Ks = K * s
+    vals_g = G[:Ks] + G[Ks:2 * Ks]
+    c = (G[2 * Ks:2 * Ks + s] + G[2 * Ks + s:2 * Ks + 2 * s]) \
+        + G[2 * Ks + 2 * s:2 * Ks + 3 * s]
+    M2 = (pos32 >= c).astype(jnp.float32)
+    P2 = jnp.concatenate([jnp.ones_like(M2[:1]), M2[:-1]], axis=0) - M2
+    Z = vals_g * jnp.concatenate([P2] * K, axis=0)
+    return Z.reshape(K, s, N).sum(axis=1).T
+
+
 def resample_apply_xla(pos: jax.Array, cdf: jax.Array,
                        vals: jax.Array) -> jax.Array:
     """Pure-XLA fallback of the same one-hot matmul (materializes M)."""
@@ -129,19 +375,26 @@ def weights_cdf(log_weights: jax.Array) -> jax.Array:
                      uniform)
 
 
-# The one-hot matmul is O(N^2) per step; index-based resampling is O(N log N)
-# with poor constants on TPU.  Measured crossover is around N ~ 8k.
+# The dense one-hot matmul is O(N^2) per step; the two-level kernel is
+# O(N^2 / s); index-based resampling is O(N log N) with poor constants on
+# TPU.  Crossover to gather moves out by ~s relative to the dense kernel.
 PALLAS_MAX_PARTICLES = 8192
+PALLAS2_MAX_PARTICLES = 65536
+TWO_LEVEL_S = 8
 
 
 def default_mode(n_particles: int | None = None) -> str:
-    """TPU gets the fused kernel up to the O(N^2) crossover; CPU/GPU and
-    very large N keep index semantics."""
+    """TPU gets the fused two-level kernel up to the O(N^2/s) crossover;
+    CPU/GPU and very large N keep index semantics."""
     if jax.default_backend() != "tpu":
         return "gather"
-    if n_particles is not None and n_particles > PALLAS_MAX_PARTICLES:
-        return "gather"
-    return "pallas"
+    if n_particles is not None:
+        if n_particles > PALLAS2_MAX_PARTICLES:
+            return "gather"
+        if n_particles % TWO_LEVEL_S != 0:
+            return "pallas" if n_particles <= PALLAS_MAX_PARTICLES \
+                else "gather"
+    return "pallas2"
 
 
 def resample_apply(key: jax.Array, log_weights: jax.Array, vals: jax.Array,
@@ -149,21 +402,31 @@ def resample_apply(key: jax.Array, log_weights: jax.Array, vals: jax.Array,
                    mode: str = "pallas") -> jax.Array:
     """Resample rows of ``vals`` [N, K] according to ``log_weights``.
 
-    mode: 'pallas' (fused TPU kernel), 'xla' (dense one-hot matmul),
+    mode: 'pallas2' (fused two-level TPU kernel — the fast path),
+    'pallas' (fused dense one-hot kernel), 'xla' / 'xla2' (unfused mirrors),
     'gather' (searchsorted + take — index semantics, CPU default),
-    'auto' (backend-dependent default).
+    'auto' (backend-dependent default).  All modes have identical
+    selection semantics for the same key.
     """
     n = log_weights.shape[0]
     if mode == "auto":
         mode = default_mode(n)
+    if mode == "pallas2" and n % TWO_LEVEL_S != 0:
+        mode = "pallas"
     cdf = weights_cdf(log_weights)
     pos = resample_positions(scheme, key, n, cdf.dtype)
+    if mode == "pallas2":
+        return _resample2_auto(pos, cdf,
+                               vals.astype(jnp.float32)).astype(vals.dtype)
     if mode == "pallas":
         return resample_apply_pallas(pos, cdf,
                                      vals.astype(jnp.float32)).astype(
                                          vals.dtype)
     if mode == "xla":
         return resample_apply_xla(pos, cdf, vals)
+    if mode == "xla2":
+        return resample_apply_xla2(pos, cdf, vals.astype(jnp.float32),
+                                   s=TWO_LEVEL_S).astype(vals.dtype)
     if mode == "gather":
         return resample_apply_gather(pos, cdf, vals)
     raise ValueError(f"Unrecognized resample mode '{mode}'")

@@ -37,6 +37,68 @@ def test_modes_agree_all_schemes(scheme):
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.parametrize("N,K", [(64, 3), (128, 7), (256, 5), (1024, 4)])
+def test_xla2_selection_matches_gather_exactly(N, K):
+    """Two-level mode must select the same ancestors as gather: the 3-piece
+    bf16 CDF split reconstructs f32 bitwise, so compares are exact."""
+    key = jax.random.PRNGKey(11)
+    lw = jax.random.normal(key, (N,), jnp.float32) * 2
+    cdf = rs.weights_cdf(lw)
+    pos = rs.resample_positions("systematic", jax.random.fold_in(key, 2), N,
+                                cdf.dtype)
+    tags = jnp.arange(N, dtype=jnp.float32)[:, None]
+    a = rs.resample_apply_gather(pos, cdf, tags)
+    b = rs.resample_apply_xla2(pos, cdf, tags)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_xla2_values_close_to_gather():
+    key = jax.random.PRNGKey(12)
+    N, K = 256, 5
+    lw = jax.random.normal(key, (N,), jnp.float32)
+    vals = jax.random.normal(jax.random.fold_in(key, 1), (N, K),
+                             jnp.float32) * 10
+    cdf = rs.weights_cdf(lw)
+    pos = rs.resample_positions("stratified", jax.random.fold_in(key, 2), N,
+                                cdf.dtype)
+    a = rs.resample_apply_gather(pos, cdf, vals)
+    b = rs.resample_apply_xla2(pos, cdf, vals)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5,
+                               atol=1e-5)
+
+
+def test_pallas2_interpret_matches_xla2_bitwise():
+    key = jax.random.PRNGKey(13)
+    N, K = 256, 4
+    lw = jax.random.normal(key, (N,), jnp.float32)
+    vals = jax.random.normal(jax.random.fold_in(key, 1), (N, K),
+                             jnp.float32) * 5
+    cdf = rs.weights_cdf(lw)
+    pos = rs.resample_positions("systematic", jax.random.fold_in(key, 2), N,
+                                cdf.dtype)
+    a = rs.resample_apply_pallas2(pos, cdf, vals, interpret=True)
+    b = rs.resample_apply_xla2(pos, cdf, vals)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_pallas2_batched_interpret_matches_unbatched():
+    key = jax.random.PRNGKey(14)
+    C, N, K = 4, 128, 3
+    lw = jax.random.normal(key, (C, N), jnp.float32)
+    vals = jax.random.normal(jax.random.fold_in(key, 1), (C, N, K),
+                             jnp.float32)
+    cdf = jax.vmap(rs.weights_cdf)(lw)
+    pos = jax.vmap(lambda i: rs.resample_positions(
+        "systematic", jax.random.fold_in(key, i), N, jnp.float32))(
+            jnp.arange(C))
+    a = rs.resample_apply_pallas2_batched(pos, cdf, vals, chain_block=2,
+                                          interpret=True)
+    b = jnp.stack([rs.resample_apply_pallas2(pos[i], cdf[i], vals[i],
+                                             interpret=True)
+                   for i in range(C)])
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_resampled_rows_are_original_rows():
     """Every output row must be an exact copy of some input row."""
     pos, cdf, vals = setup(seed=4)
