@@ -41,7 +41,8 @@ def main():
     score_fn = sgmcmc.make_pf_score_fn(
         svm.KERNEL, svm.grad_statistic, svm.STATISTIC_DIM, svm.unpack_grad,
         cfg, T,
-        prior_mean_var_fn=lambda p: (0.0, svm.stationary_variance(p)))
+        prior_mean_var_fn=lambda p: (0.0, svm.stationary_variance(p)),
+        fused_model=svm.FUSED)
     prior = svm.default_prior()
     grad_fn = sgmcmc.make_noisy_grad_fn(
         score_fn, lambda p: svm.grad_logprior(prior, p), T)

@@ -71,19 +71,43 @@ class PFScoreConfig:
     partition_style: str = "uniform"
 
 
+def _fused_eligible(config: PFScoreConfig, fused_model) -> bool:
+    """The fully-fused Pallas window kernel handles the systematic-resampled
+    Nemeth/Poyiadjis-O(N) smoothers for models providing a FusedModel."""
+    if fused_model is None:
+        return False
+    if config.smoother not in ("poyiadjis_N", "nemeth"):
+        return False
+    if config.resampler != "systematic":
+        return False
+    if config.n_particles % 8 != 0:
+        return False
+    if config.resample_mode == "fused":
+        return True
+    return (config.resample_mode in ("auto", "pallas", "pallas2")
+            and jax.default_backend() == "tpu")
+
+
 def make_pf_score_fn(kernel: ParticleKernel, stat_fn: StatisticFn,
                      statistic_dim: int, unpack: Callable[[jax.Array], Params],
                      config: PFScoreConfig, T: int,
-                     prior_mean_var_fn: Callable[[Params], tuple] | None = None):
+                     prior_mean_var_fn: Callable[[Params], tuple] | None = None,
+                     fused_model=None):
     """Build score_fn(key, params, observations[T, m]) -> (grad_tree, loglik).
 
     One minibatch element = one buffered subsequence window run through the
     particle smoother (`_single_noisy_grad_loglikelihood` kind='pf',
-    `sgmcmc_sampler.py:364-384`); the minibatch axis is vmapped.
+    `sgmcmc_sampler.py:364-384`); the minibatch axis is vmapped.  When the
+    model supplies a ``fused_model`` bundle and the config qualifies, the
+    whole window runs in one Pallas kernel (`ops/pallas/fused_pf.py`).
     """
     S = config.subsequence_length
     full = (S == -1) or (S >= T)
     W = T if full else window_length(S, config.buffer_length, T)
+    use_fused = _fused_eligible(config, fused_model)
+    fused_interpret = use_fused and jax.default_backend() != "tpu"
+    fused_lambduh = 1.0 if config.smoother == "poyiadjis_N" \
+        else config.lambduh
 
     def one_window(key, params, observations):
         dtype = observations.dtype
@@ -104,6 +128,12 @@ def make_pf_score_fn(kernel: ParticleKernel, stat_fn: StatisticFn,
                                      jnp.asarray(10.0, dtype))
         else:
             prior_mean, prior_var = prior_mean_var_fn(params)
+        if use_fused:
+            from ..ops.pallas.fused_pf import fused_pf_score
+            return fused_pf_score(
+                fused_model, key_pf, params, window, step_w,
+                config.n_particles, prior_mean, prior_var,
+                lambduh=fused_lambduh, interpret=fused_interpret)
         out = run_buffered_pf(
             kernel, stat_fn, params, window,
             key=key_pf, n_particles=config.n_particles,

@@ -311,6 +311,51 @@ def make_predictive_stat_fn(observations, num_steps_ahead: int,
     return stat_fn
 
 
+# --------------------------------------------------------------------------
+# Fused-kernel bundle (shape-polymorphic elementwise forms of the kernel
+# and score above; see `ops/pallas/fused_pf.py`)
+# --------------------------------------------------------------------------
+
+def _fused_pack(params: SVMParams) -> jax.Array:
+    return jnp.stack([params.a, params.lqinv, params.lrinv])
+
+
+def _fused_propose(pv, z, x, y_t):
+    a, lqinv, _ = pv
+    return [a * x[0] + z[0] / lqinv]
+
+
+def _fused_reweight(pv, x, x_new, y_t):
+    _, _, lrinv = pv
+    xn = x_new[0]
+    return (-0.5 * _LOG_2PI
+            - 0.5 * (y_t ** 2) * jnp.exp(jnp.clip(-xn, -60.0, 60.0))
+            * (lrinv * lrinv)
+            + jnp.log(jnp.abs(lrinv))
+            - 0.5 * xn)
+
+
+def _fused_stat(pv, x, x_new, y_t):
+    a, lqinv, lrinv = pv
+    x0, x1 = x[0], x_new[0]
+    diff_x = x1 - a * x0
+    grad_A = (lqinv * lqinv) * diff_x * x0
+    grad_LQinv = 1.0 / lqinv - diff_x * diff_x * lqinv
+    diff_y2 = (y_t ** 2) * jnp.exp(jnp.clip(-x1, -60.0, 60.0))
+    grad_LRinv = 1.0 / lrinv - diff_y2 * lrinv
+    return [grad_LRinv, grad_LQinv, grad_A]   # STATISTIC_DIM order
+
+
+def _make_fused():
+    from ..ops.pallas.fused_pf import FusedModel
+    return FusedModel(n_state=1, n_stat=STATISTIC_DIM, n_param=3,
+                      pack_params=_fused_pack, propose=_fused_propose,
+                      reweight=_fused_reweight, stat=_fused_stat)
+
+
+FUSED = _make_fused()
+
+
 def unpack_grad(stat: jax.Array) -> SVMParams:
     """Score vector [3] -> gradient pytree (`svm/helper.py:121-126`)."""
     return SVMParams(

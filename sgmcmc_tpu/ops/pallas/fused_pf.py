@@ -1,0 +1,338 @@
+"""Fully-fused buffered particle smoother window — one Pallas kernel.
+
+TPU-native fusion of the whole `pf_wrapper` hot loop
+(`/root/reference/sgmcmc_ssm/particle_filters/buffered_smoother.py:93-133`
+with the Nemeth/Poyiadjis-O(N) step `pf.py:138-181`): all W window steps —
+weight normalization + CDF, systematic resampling (two-level one-hot, see
+`resample.py`), proposal, reweighting, additive-statistic update and the
+log-likelihood accumulator — run inside a single kernel whose carries
+(particles, log-weights, statistics) never leave VMEM.
+
+Layout: the particle axis is stored *folded* as [s, B] with particle
+``j = s*p + q`` at (row q, lane p), s = 8, B = N/s.  Elementwise model
+ops are layout-oblivious, the CDF cumsum splits into a sublane cumsum
+plus a lane cumsum of column totals, and — the point of the layout — the
+two-level gather matrix W1 (rows (k, q), lanes p) is exactly the stacked
+rows of the folded value arrays: operand assembly costs zero relayouts.
+
+The model plugs in through :class:`FusedModel` — shape-polymorphic
+elementwise functions over lists of per-state-dimension arrays, so one
+kernel serves every scalar-observation model family.  Randomness (the
+per-step proposal normals and systematic-resampling offsets) is pre-drawn
+outside with `jax.random`, keeping the estimator deterministic in the key.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .resample import TWO_LEVEL_S, _split3
+
+
+@dataclasses.dataclass(frozen=True)
+class FusedModel:
+    """Model bundle for the fused window kernel.
+
+    All callables are elementwise and shape-polymorphic: state/statistic
+    arrays arrive as lists of arrays of identical (arbitrary) shape, and
+    parameters as a list of same-rank broadcastable scalars (one per
+    entry of ``pack_params``).
+
+    * ``pack_params(params) -> [P]`` flattens the parameter pytree.
+    * ``propose(pvec, z, x, y) -> x'`` — ``z``/``x``/``x'`` lists of D arrays.
+    * ``reweight(pvec, x, x', y) -> log_w`` — one array.
+    * ``stat(pvec, x, x', y) -> h`` — list of H arrays (additive statistic).
+    * ``n_state`` = D, ``n_stat`` = H.
+    """
+    n_state: int
+    n_stat: int
+    n_param: int
+    pack_params: Callable
+    propose: Callable
+    reweight: Callable
+    stat: Callable
+
+    def __hash__(self):
+        return hash((self.n_state, self.n_stat, self.n_param,
+                     self.pack_params, self.propose, self.reweight,
+                     self.stat))
+
+
+def _max2(x):
+    """max over (axis 1, axis 2) with keepdims — sequential single-axis
+    reduces (multi-axis reductions crash this Mosaic version)."""
+    return jnp.max(jnp.max(x, axis=2, keepdims=True), axis=1, keepdims=True)
+
+
+def _sum2(x):
+    """sum over (axis 1, axis 2) with keepdims, sequentially."""
+    return jnp.sum(jnp.sum(x, axis=2, keepdims=True), axis=1, keepdims=True)
+
+
+def _cumsum_shift(x: jax.Array, axis: int) -> jax.Array:
+    """Inclusive cumulative sum via a log-tree of shifted adds (Mosaic has
+    no cumsum primitive; concatenate-shift lowers to cheap lane/sublane
+    shifts)."""
+    n = x.shape[axis]
+    sh = 1
+    while sh < n:
+        zeros_shape = list(x.shape)
+        zeros_shape[axis] = sh
+        zeros = jnp.zeros(zeros_shape, x.dtype)
+        idx = [slice(None)] * x.ndim
+        idx[axis] = slice(0, n - sh)
+        x = x + jnp.concatenate([zeros, x[tuple(idx)]], axis=axis)
+        sh *= 2
+    return x
+
+
+def _fused_window_kernel(model: FusedModel, W: int, s: int, B: int,
+                         lambduh: float,
+                         pvec_ref,      # [CB, P, B] f32 VMEM (lane-replicated)
+                         x0_ref,        # [CB, D*s, B] f32 VMEM
+                         normals_ref,   # [CB, W, D*s, B] f32 VMEM
+                         aux_ref,       # [CB, 3*W, B] f32 VMEM: rows
+                                        # [y_t | w_t | xi_t], lane-replicated
+                         out_ref):      # [CB, 1, H+1] f32 VMEM
+    D, H = model.n_state, model.n_stat
+    K = D + H
+    CB = x0_ref.shape[0]
+    N = s * B
+    fdt = jnp.float32
+
+    def fiota(shape, dim):
+        return jax.lax.broadcasted_iota(jnp.int32, shape, dim).astype(fdt)
+
+    lane_iota = fiota((CB, 1, B), 2)
+    sub_iota_col = fiota((CB, B, 1), 1)
+    q_iota = fiota((CB, s, B), 1)
+    # particle index j = s*p + q at folded (row q, lane p)
+    j_fold = s * fiota((CB, s, B), 2) + q_iota
+
+    # Lane-replicated parameter rows [CB, 1, B].  (Lane-offset slices of
+    # [CB, 1, P] crash Mosaic when broadcast; sublane rows are safe.)
+    pv = [pvec_ref[:, i:i + 1, :] for i in range(model.n_param)]
+
+    def step(t, carry):
+        V, logw, ll = carry                 # [CB,K*s,B], [CB,s,B], [CB,1,B]
+        y_t = aux_ref[:, pl.ds(t, 1), :]                    # [CB,1,B]
+        w_t = aux_ref[:, pl.ds(W + t, 1), :]                # [CB,1,B]
+        xi_row = aux_ref[:, pl.ds(2 * W + t, 1), :]         # [CB,1,B]
+        xi_t = jnp.max(xi_row, axis=2, keepdims=True)       # [CB,1,1]
+
+        # ---- normalized CDF in folded j-order + loglik increment
+        m = _max2(logw)
+        mf = jnp.where(jnp.isfinite(m), m, 0.0)
+        w = jnp.exp(logw - mf)
+        colsum = jnp.sum(w, axis=1, keepdims=True)            # [CB,1,B]
+        lane_incl = _cumsum_shift(colsum, axis=2)
+        lane_excl = lane_incl - colsum
+        csum = _cumsum_shift(w, axis=1) + lane_excl           # [CB,s,B]
+        # total weight as a reduce (a lane-offset slice of lane_incl has a
+        # non-replicated layout whose broadcast crashes Mosaic)
+        tot = jnp.sum(colsum, axis=2, keepdims=True)          # [CB,1,1]
+        ok = tot > 0
+        cdf = jnp.where(ok, csum / jnp.where(ok, tot, 1.0),
+                        (j_fold + 1.0) / N)
+
+        if lambduh != 1.0:
+            probs = jnp.where(ok, w / jnp.where(ok, tot, 1.0), 1.0 / N)
+            Sh = V[:, D * s:].reshape(CB, H, s, B)
+            S_bar = jnp.sum(jnp.sum(Sh * probs[:, None], axis=3,
+                                    keepdims=True), axis=2,
+                            keepdims=True)                    # [CB,H,1,1]
+
+        # ---- two-level gather operands (zero relayouts by construction)
+        vhi = V.astype(jnp.bfloat16)
+        vlo = (V - vhi.astype(fdt)).astype(jnp.bfloat16)
+        chi, cmid, clo = _split3(cdf)
+        W1 = jnp.concatenate([vhi, vlo, chi, cmid, clo], axis=1)
+        # block boundaries = last cdf row; cdf is cumulative in q, so the
+        # sublane max IS row s-1 (and carries a broadcast-safe layout)
+        bnd_row = jnp.max(cdf, axis=1, keepdims=True)         # [CB,1,B]
+
+        Ks = K * s
+        outs = []
+        for qp in range(s):
+            posc = (s * sub_iota_col + (qp + xi_t)) / N       # [CB,B',1]
+            M1 = (posc >= bnd_row).astype(jnp.bfloat16)       # [CB,B',B]
+            ones = jnp.ones_like(M1[:, :, :1])
+            B1 = jnp.concatenate([ones, M1[:, :, :-1]], axis=2) - M1
+            G = jax.lax.dot_general(
+                W1, B1, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=fdt)                   # [CB,R,B']
+            vals = G[:, :Ks] + G[:, Ks:2 * Ks]                # [CB,K*s,B']
+            c = (G[:, 2 * Ks:2 * Ks + s]
+                 + G[:, 2 * Ks + s:2 * Ks + 2 * s]) \
+                + G[:, 2 * Ks + 2 * s:2 * Ks + 3 * s]         # exact f32
+            posr = (s * lane_iota + (qp + xi_t)) / N          # [CB,1,B']
+            M2 = (posr >= c).astype(fdt)
+            ones2 = jnp.ones_like(M2[:, :1])
+            P2 = jnp.concatenate([ones2, M2[:, :-1]], axis=1) - M2
+            Z = vals * jnp.concatenate([P2] * K, axis=1)      # [CB,K*s,B']
+            outs.append(Z.reshape(CB, K, s, B).sum(axis=2))   # [CB,K,B']
+        Vr = jnp.stack(outs, axis=2).reshape(CB, K * s, B)    # rows (k, q)
+
+        xr = [Vr[:, d * s:(d + 1) * s] for d in range(D)]
+        sr = [Vr[:, (D + h) * s:(D + h + 1) * s] for h in range(H)]
+
+        # ---- propose / reweight / statistic update
+        z = [normals_ref[:, t, d * s:(d + 1) * s, :] for d in range(D)]
+        x_new = model.propose(pv, z, xr, y_t)
+        logw_new = model.reweight(pv, xr, x_new, y_t)
+
+        # loglik increment from the NEW weights (`buffered_smoother.py:124`)
+        m2 = _max2(logw_new)
+        mf2 = jnp.where(jnp.isfinite(m2), m2, 0.0)
+        tot2 = _sum2(jnp.exp(logw_new - mf2))
+        ok2 = tot2 > 0
+        ll_inc = mf2 + jnp.log(jnp.where(ok2, tot2, 1.0)) - jnp.log(float(N))
+        ll = ll + w_t * jnp.where(ok2, ll_inc, -jnp.inf)
+
+        h = model.stat(pv, xr, x_new, y_t)
+        if lambduh == 1.0:
+            s_new = [sr[i] + w_t * h[i] for i in range(H)]
+        else:
+            s_new = [lambduh * sr[i] + (1.0 - lambduh) * S_bar[:, i]
+                     + w_t * h[i] for i in range(H)]
+        V_new = jnp.concatenate(list(x_new) + s_new, axis=1)
+        return (V_new, logw_new, ll)
+
+    V0 = jnp.concatenate(
+        [x0_ref[:], jnp.zeros((CB, H * s, B), fdt)], axis=1)
+    logw0 = jnp.zeros((CB, s, B), fdt)
+    ll0 = jnp.zeros((CB, 1, B), fdt)
+    V, logw, ll = jax.lax.fori_loop(0, W, step, (V0, logw0, ll0))
+
+    # ---- weight-averaged final statistic (`buffered_smoother.py:151-154`)
+    m = _max2(logw)
+    mf = jnp.where(jnp.isfinite(m), m, 0.0)
+    w = jnp.exp(logw - mf)
+    tot = _sum2(w)
+    ok = tot > 0
+    probs = jnp.where(ok, w / jnp.where(ok, tot, 1.0), 1.0 / (s * B))
+    cols = [_sum2(V[:, (D + h) * s:(D + h + 1) * s] * probs)
+            for h in range(H)]                            # H x [CB,1,1]
+    cols.append(jnp.max(ll, axis=2, keepdims=True))       # loglik
+    out_ref[:] = jnp.concatenate(cols, axis=2)            # [CB,1,H+1]
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "model", "lambduh", "chain_block", "interpret"))
+def fused_window_batched(model: FusedModel,
+                         pvec: jax.Array,      # [C, P]
+                         x0: jax.Array,        # [C, D*s, B]
+                         normals: jax.Array,   # [C, W, D*s, B]
+                         ys: jax.Array,        # [C, W]
+                         weights: jax.Array,   # [C, W]
+                         xi: jax.Array,        # [C, W]
+                         lambduh: float = 1.0,
+                         chain_block: int = 8,
+                         interpret: bool = False):
+    """Run the fused window for a batch of chains.
+
+    Returns (mean_statistic [C, H], loglikelihood [C]).
+    """
+    C, W = ys.shape
+    s = TWO_LEVEL_S
+    B = x0.shape[-1]
+    D, H = model.n_state, model.n_stat
+    CB = chain_block
+    while C % CB != 0:
+        CB //= 2
+    fdt = jnp.float32
+
+    aux = jnp.broadcast_to(
+        jnp.concatenate([ys, weights, xi], axis=1).astype(fdt)[:, :, None],
+        (C, 3 * W, B))                   # [C, 3W, B] lane-replicated
+    pvec_b = jnp.broadcast_to(pvec.astype(fdt)[:, :, None],
+                              (C, pvec.shape[-1], B))
+    out = pl.pallas_call(
+        functools.partial(_fused_window_kernel, model, W, s, B, lambduh),
+        grid=(C // CB,),
+        in_specs=[
+            pl.BlockSpec((CB, pvec.shape[-1], B), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((CB, D * s, B), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((CB, W, D * s, B), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((CB, 3 * W, B), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((CB, 1, H + 1), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((C, 1, H + 1), fdt),
+        interpret=interpret,
+    )(pvec_b, x0.astype(fdt), normals.astype(fdt), aux)
+    return out[:, 0, :H], out[:, 0, H]
+
+
+def _bc(x, batched, n):
+    return x if batched else jnp.broadcast_to(x, (n,) + x.shape)
+
+
+@functools.lru_cache(maxsize=None)
+def _fused_callable(model: FusedModel, lambduh: float, interpret: bool):
+    """Single-chain fused call whose vmap collapses into real chain
+    batches (nested vmaps flatten)."""
+
+    @jax.custom_batching.custom_vmap
+    def flat(pvec, x0, normals, ys, weights, xi):
+        return fused_window_batched(model, pvec, x0, normals, ys, weights,
+                                    xi, lambduh=lambduh, chain_block=8,
+                                    interpret=interpret)
+
+    @flat.def_vmap
+    def flat_vmap(axis_size, in_batched, *args):
+        args = [_bc(a, b, axis_size) for a, b in zip(args, in_batched)]
+        C2, C1 = args[0].shape[:2]
+        out = flat(*[a.reshape((C2 * C1,) + a.shape[2:]) for a in args])
+        return (out[0].reshape((C2, C1) + out[0].shape[1:]),
+                out[1].reshape(C2, C1)), (True, True)
+
+    @jax.custom_batching.custom_vmap
+    def single(pvec, x0, normals, ys, weights, xi):
+        ms, ll = fused_window_batched(
+            model, pvec[None], x0[None], normals[None], ys[None],
+            weights[None], xi[None], lambduh=lambduh, chain_block=1,
+            interpret=interpret)
+        return ms[0], ll[0]
+
+    @single.def_vmap
+    def single_vmap(axis_size, in_batched, *args):
+        args = [_bc(a, b, axis_size) for a, b in zip(args, in_batched)]
+        return flat(*args), (True, True)
+
+    return single
+
+
+def fused_pf_score(model: FusedModel, key, params, window, step_weights,
+                   n_particles: int, prior_mean, prior_var,
+                   lambduh: float = 1.0, interpret: bool = False):
+    """Single-chain fused buffered-PF score: (mean_stat [H], loglik).
+
+    Draws x0, per-step proposal normals, and systematic offsets from
+    ``key``, then runs the fused kernel; under vmap, chains collapse into
+    chain-blocked kernel batches.
+    """
+    s = TWO_LEVEL_S
+    assert n_particles % s == 0, "fused path needs N divisible by 8"
+    B = n_particles // s
+    W = window.shape[0]
+    D = model.n_state
+    k0, kz, kxi = jax.random.split(key, 3)
+    x0 = (prior_mean + jnp.sqrt(prior_var)
+          * jax.random.normal(k0, (D * s, B), jnp.float32))
+    normals = jax.random.normal(kz, (W, D * s, B), jnp.float32)
+    xi = jax.random.uniform(kxi, (W,), jnp.float32)
+    pvec = model.pack_params(params).astype(jnp.float32)
+    ys = window.reshape(W).astype(jnp.float32)
+    fn = _fused_callable(model, float(lambduh), bool(interpret))
+    return fn(pvec, x0, normals, ys, step_weights.astype(jnp.float32), xi)

@@ -1,0 +1,130 @@
+"""Fused window kernel vs the unfused buffered PF (gather mode).
+
+The fused path consumes randomness as (x0 normals, per-step proposal
+normals, per-step systematic offsets).  Reconstructing exactly the draws
+the unfused gather path makes lets us compare trajectories deterministically
+(selections are exact; resampled values carry the bf16 hi/lo ~1e-5 error).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sgmcmc_tpu.models import svm
+from sgmcmc_tpu.ops import buffered
+from sgmcmc_tpu.ops.pallas.fused_pf import (fused_pf_score,
+                                            fused_window_batched)
+
+
+def _gather_path_draws(key, params, N, W, prior_mean, prior_var):
+    """Replicate run_buffered_pf's PRNG consumption, folded layout."""
+    s = 8
+    B = N // s
+
+    def fold(flat):                      # [N] -> [s, B], j = s*p + q
+        return flat.reshape(B, s).T
+
+    key_init, key_steps = jax.random.split(key)
+    z0 = jax.random.normal(key_init, (N, 1), jnp.float32)
+    x0 = prior_mean + jnp.sqrt(prior_var) * z0
+    step_keys = jax.random.split(key_steps, W)
+    xis, zs = [], []
+    for t in range(W):
+        kr, kp = jax.random.split(step_keys[t])
+        xis.append(jax.random.uniform(kr, (), jnp.float32))
+        zs.append(fold(jax.random.normal(kp, (N, 1), jnp.float32)[:, 0]))
+    return (fold(x0[:, 0])[None], jnp.stack(zs)[None, :, :, :],
+            jnp.stack(xis)[None])
+
+
+@pytest.mark.parametrize("seed", [0, 3])
+def test_fused_matches_gather_deterministically(seed):
+    params = svm.from_scalars(A=0.9, Q=0.5, R=1.0, dtype=jnp.float32)
+    T, N = 24, 64
+    ys, _ = svm.generate_data(jax.random.PRNGKey(1), params, T)
+    ys = ys.astype(jnp.float32)
+    pv = float(svm.stationary_variance(params))
+    key = jax.random.PRNGKey(seed)
+
+    ref = buffered.run_buffered_pf(
+        svm.KERNEL, svm.grad_statistic, params, ys, key=key,
+        n_particles=N, statistic_dim=3, smoother="poyiadjis_N",
+        resampler="systematic", resample_mode="gather",
+        prior_mean=0.0, prior_var=pv)
+
+    x0, normals, xi = _gather_path_draws(key, params, N, T, 0.0, pv)
+    pvec = svm._fused_pack(params).astype(jnp.float32)[None]
+    w = jnp.ones((1, T), jnp.float32)
+    ms, ll = fused_window_batched(
+        svm.FUSED, pvec, x0, normals, ys[None, :, 0], w, xi,
+        chain_block=1, interpret=True)
+    np.testing.assert_allclose(np.asarray(ms[0]),
+                               np.asarray(ref.mean_statistic),
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(float(ll[0]), float(ref.loglikelihood),
+                               rtol=1e-4)
+
+
+def test_fused_statistically_matches_gather():
+    """Score estimator means agree within Monte-Carlo error."""
+    params = svm.from_scalars(A=0.9, Q=0.5, R=1.0, dtype=jnp.float32)
+    T, N, R = 20, 64, 60
+    ys, _ = svm.generate_data(jax.random.PRNGKey(0), params, T)
+    ys = ys.astype(jnp.float32)
+    w = jnp.ones((T,), jnp.float32)
+    pv = float(svm.stationary_variance(params))
+
+    gather = jax.jit(lambda k: buffered.run_buffered_pf(
+        svm.KERNEL, svm.grad_statistic, params, ys, key=k, n_particles=N,
+        statistic_dim=3, smoother="poyiadjis_N", resampler="systematic",
+        resample_mode="gather", prior_mean=0.0, prior_var=pv))
+    g = np.stack([np.asarray(gather(jax.random.fold_in(
+        jax.random.PRNGKey(10), i)).mean_statistic) for i in range(R)])
+
+    f = np.stack([np.asarray(fused_pf_score(
+        svm.FUSED, jax.random.fold_in(jax.random.PRNGKey(20), i), params,
+        ys, w, N, 0.0, pv, interpret=True)[0]) for i in range(R)])
+
+    se = np.sqrt(g.std(0) ** 2 + f.std(0) ** 2) / np.sqrt(R)
+    assert np.all(np.abs(g.mean(0) - f.mean(0)) < 4 * se + 1e-3), \
+        (g.mean(0), f.mean(0), se)
+
+
+def test_fused_vmap_collapses_to_batch():
+    """vmap over chains must give the same numbers as the direct batch."""
+    params = svm.from_scalars(A=0.8, Q=0.7, R=1.2, dtype=jnp.float32)
+    T, N, C = 12, 32, 4
+    ys, _ = svm.generate_data(jax.random.PRNGKey(2), params, T)
+    ys = ys.astype(jnp.float32)
+    w = jnp.ones((T,), jnp.float32)
+    pv = float(svm.stationary_variance(params))
+    keys = jax.random.split(jax.random.PRNGKey(5), C)
+
+    ms_v, ll_v = jax.vmap(lambda k: fused_pf_score(
+        svm.FUSED, k, params, ys, w, N, 0.0, pv, interpret=True))(keys)
+    ms_s = jnp.stack([fused_pf_score(svm.FUSED, k, params, ys, w, N,
+                                     0.0, pv, interpret=True)[0]
+                      for k in keys])
+    np.testing.assert_allclose(np.asarray(ms_v), np.asarray(ms_s),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_fused_score_fn_integration():
+    """make_pf_score_fn(resample_mode='fused') drives an SGLD chain."""
+    from sgmcmc_tpu.inference import sgmcmc
+    T = 60
+    true = svm.from_scalars(A=0.9, Q=0.5, R=1.0, dtype=jnp.float32)
+    ys, _ = svm.generate_data(jax.random.PRNGKey(0), true, T)
+    ys = ys.astype(jnp.float32)
+    cfg = sgmcmc.PFScoreConfig(
+        n_particles=32, subsequence_length=16, buffer_length=4,
+        minibatch_size=1, smoother="poyiadjis_N", resampler="systematic",
+        resample_mode="fused")
+    score = sgmcmc.make_pf_score_fn(
+        svm.KERNEL, svm.grad_statistic, 3, svm.unpack_grad, cfg, T,
+        prior_mean_var_fn=lambda p: (0.0, svm.stationary_variance(p)),
+        fused_model=svm.FUSED)
+    grad, ll = score(jax.random.PRNGKey(3), true, ys)
+    assert np.isfinite(float(ll))
+    for leaf in jax.tree_util.tree_leaves(grad):
+        assert np.all(np.isfinite(np.asarray(leaf)))
