@@ -123,10 +123,12 @@ class Sampler:
                         p, w, v, wt, B, S_eff, k, num_samples),
                     cfg, self.T, pass_key=True)
             elif kind == "pf":
+                fused = m.get_fused(kernel_name) if m.get_fused else None
                 score = sgmcmc.make_pf_score_fn(
                     m.get_kernel(kernel_name), m.grad_statistic,
                     m.grad_statistic_dim, m.unpack_grad, cfg, self.T,
-                    prior_mean_var_fn=m.prior_mean_var)
+                    prior_mean_var_fn=m.prior_mean_var,
+                    fused_model=fused)
             else:
                 raise ValueError(f"Unrecognized kind = '{kind}'")
             precond = None

@@ -232,6 +232,94 @@ def make_predictive_stat_fn(observations, num_steps_ahead: int,
     return stat_fn
 
 
+# --------------------------------------------------------------------------
+# Fused-kernel bundles (shape-polymorphic elementwise forms; see
+# `ops/pallas/fused_pf.py`).  State is [x, sigma2]; sigma2 is the
+# deterministically-carried second component (`garch/kernels.py:5-18`).
+# --------------------------------------------------------------------------
+
+def _fused_pack(params: GARCHParams) -> jax.Array:
+    return jnp.stack([params.mu, params.phi, params.lambduh, params.lrinv])
+
+
+def _fused_abg(pv):
+    mu, phi, lam, lrinv = pv
+    alpha = mu * (1.0 - phi)
+    beta = phi * lam
+    gamma = phi * (1.0 - lam)
+    return alpha, beta, gamma, lrinv
+
+
+def _fused_init(z, prior_mean, prior_var):
+    return [prior_mean + jnp.sqrt(prior_var) * z[0],
+            jnp.zeros_like(z[1])]
+
+
+def _fused_propose_optimal(pv, z, x, y_t):
+    alpha, beta, gamma, lrinv = _fused_abg(pv)
+    s2 = alpha + beta * x[0] ** 2 + gamma * x[1]
+    rinv = lrinv * lrinv
+    var = 1.0 / (rinv + 1.0 / s2)
+    mean = var * (y_t * rinv)
+    return [mean + jnp.sqrt(var) * z[0], s2]
+
+
+def _fused_reweight_optimal(pv, x, x_new, y_t):
+    _, _, _, lrinv = _fused_abg(pv)
+    var = x_new[1] + 1.0 / (lrinv * lrinv)
+    return (-0.5 * _LOG_2PI - 0.5 * (y_t ** 2) / var - 0.5 * jnp.log(var))
+
+
+def _fused_propose_prior(pv, z, x, y_t):
+    alpha, beta, gamma, _ = _fused_abg(pv)
+    s2 = alpha + beta * x[0] ** 2 + gamma * x[1]
+    return [jnp.sqrt(s2) * z[0], s2]
+
+
+def _fused_reweight_prior(pv, x, x_new, y_t):
+    _, _, _, lrinv = _fused_abg(pv)
+    diff = y_t - x_new[0]
+    return (-0.5 * _LOG_2PI - 0.5 * diff * diff * (lrinv * lrinv)
+            + jnp.log(jnp.abs(lrinv)))
+
+
+def _fused_stat(pv, x, x_new, y_t):
+    mu, phi, lam, lrinv = pv
+    v = x_new[1]
+    grad_v = -0.5 * (v - x_new[0] ** 2) / (v * v)
+    grad_log_mu = grad_v * (1.0 - phi) * mu
+    grad_logit_phi = (grad_v
+                      * (-mu + lam * x[0] ** 2 + (1.0 - lam) * x[1])
+                      * (1.0 - phi) * phi)
+    grad_logit_lambduh = grad_v * phi * (x[0] ** 2 - x[1]) * (1.0 - lam) * lam
+    diff_y = y_t - x_new[0]
+    grad_LRinv = 1.0 / lrinv - diff_y * diff_y * lrinv
+    return [grad_LRinv, grad_log_mu, grad_logit_phi, grad_logit_lambduh]
+
+
+def _make_fused():
+    from ..ops.pallas.fused_pf import FusedModel
+    common = dict(n_state=2, n_stat=STATISTIC_DIM, n_param=4,
+                  pack_params=_fused_pack, stat=_fused_stat,
+                  init=_fused_init)
+    return (FusedModel(propose=_fused_propose_optimal,
+                       reweight=_fused_reweight_optimal, **common),
+            FusedModel(propose=_fused_propose_prior,
+                       reweight=_fused_reweight_prior, **common))
+
+
+FUSED, FUSED_PRIOR = _make_fused()
+
+
+def get_fused(name: str | None = None):
+    """Fused bundle matching `get_kernel`."""
+    if name in (None, "optimal"):
+        return FUSED
+    if name == "prior":
+        return FUSED_PRIOR
+    raise ValueError(f"Unrecognized GARCH kernel '{name}'")
+
+
 def unpack_grad(stat: jax.Array) -> GARCHParams:
     """Score vector [4] -> gradient pytree (`garch/helper.py:110-115`)."""
     return GARCHParams(

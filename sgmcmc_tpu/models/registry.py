@@ -43,6 +43,9 @@ class ModelAPI:
     gibbs_step: Callable | None = None
     # PF support (None for purely discrete models)
     has_pf: bool = True
+    # optional fused-window kernel bundles (ops/pallas/fused_pf.py):
+    # kernel_name -> FusedModel | None
+    get_fused: Callable | None = None
     # optional SGRLD preconditioner triple
     precondition: Callable | None = None
     precondition_noise: Callable | None = None
@@ -67,6 +70,7 @@ SVM = ModelAPI(
     project_parameters=svm_mod.project_parameters,
     generate_data=svm_mod.generate_data,
     prior_mean_var=lambda p: (0.0, svm_mod.stationary_variance(p)),
+    get_fused=svm_mod.get_fused,
 )
 
 GARCH = ModelAPI(
@@ -84,6 +88,7 @@ GARCH = ModelAPI(
     project_parameters=garch_mod.project_parameters,
     generate_data=garch_mod.generate_data,
     prior_mean_var=lambda p: (0.0, garch_mod.stationary_variance(p)),
+    get_fused=garch_mod.get_fused,
 )
 
 

@@ -356,6 +356,12 @@ def _make_fused():
 FUSED = _make_fused()
 
 
+def get_fused(name: str | None = None):
+    """Fused bundle matching `get_kernel` (bootstrap/prior only; the
+    Laplace/EP proposals stay on the unfused path)."""
+    return FUSED if name in (None, "prior") else None
+
+
 def unpack_grad(stat: jax.Array) -> SVMParams:
     """Score vector [3] -> gradient pytree (`svm/helper.py:121-126`)."""
     return SVMParams(

@@ -32,7 +32,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .resample import TWO_LEVEL_S, _split3
+from .resample import TWO_LEVEL_S, _split3_kernel
 
 
 @dataclasses.dataclass(frozen=True)
@@ -48,6 +48,8 @@ class FusedModel:
     * ``propose(pvec, z, x, y) -> x'`` — ``z``/``x``/``x'`` lists of D arrays.
     * ``reweight(pvec, x, x', y) -> log_w`` — one array.
     * ``stat(pvec, x, x', y) -> h`` — list of H arrays (additive statistic).
+    * ``init(z, prior_mean, prior_var) -> x0`` — optional initial state
+      from D standard-normal arrays (default: every dim Gaussian).
     * ``n_state`` = D, ``n_stat`` = H.
     """
     n_state: int
@@ -57,11 +59,12 @@ class FusedModel:
     propose: Callable
     reweight: Callable
     stat: Callable
+    init: Callable | None = None
 
     def __hash__(self):
         return hash((self.n_state, self.n_stat, self.n_param,
                      self.pack_params, self.propose, self.reweight,
-                     self.stat))
+                     self.stat, self.init))
 
 
 def _max2(x):
@@ -151,7 +154,7 @@ def _fused_window_kernel(model: FusedModel, W: int, s: int, B: int,
         # ---- two-level gather operands (zero relayouts by construction)
         vhi = V.astype(jnp.bfloat16)
         vlo = (V - vhi.astype(fdt)).astype(jnp.bfloat16)
-        chi, cmid, clo = _split3(cdf)
+        chi, cmid, clo = _split3_kernel(cdf)
         W1 = jnp.concatenate([vhi, vlo, chi, cmid, clo], axis=1)
         # block boundaries = last cdf row; cdf is cumulative in q, so the
         # sublane max IS row s-1 (and carries a broadcast-safe layout)
@@ -328,8 +331,13 @@ def fused_pf_score(model: FusedModel, key, params, window, step_weights,
     W = window.shape[0]
     D = model.n_state
     k0, kz, kxi = jax.random.split(key, 3)
-    x0 = (prior_mean + jnp.sqrt(prior_var)
-          * jax.random.normal(k0, (D * s, B), jnp.float32))
+    z0 = jax.random.normal(k0, (D * s, B), jnp.float32)
+    if model.init is None:
+        x0 = prior_mean + jnp.sqrt(prior_var) * z0
+    else:
+        x0_list = model.init([z0[d * s:(d + 1) * s] for d in range(D)],
+                             prior_mean, prior_var)
+        x0 = jnp.concatenate(x0_list, axis=0)
     normals = jax.random.normal(kz, (W, D * s, B), jnp.float32)
     xi = jax.random.uniform(kxi, (W,), jnp.float32)
     pvec = model.pack_params(params).astype(jnp.float32)

@@ -108,8 +108,35 @@ def resample_apply_pallas(pos: jax.Array, cdf: jax.Array, vals: jax.Array,
 # MXU tiles and 8x fewer VPU compares than the dense kernel at N=1024, with
 # identical (gather) selection semantics.
 
+def _round_bf16(x32: jax.Array) -> jax.Array:
+    """Round f32 to bf16 precision, keeping f32 dtype.
+
+    MUST be `lax.reduce_precision`: a plain `astype(bf16).astype(f32)`
+    round-trip is legally elided by XLA under
+    ``--xla_allow_excess_precision`` (the TPU default here), which
+    silently zeroes the residuals of the splits below and destroys both
+    selection exactness and value accuracy.
+    """
+    return jax.lax.reduce_precision(x32, exponent_bits=8, mantissa_bits=7)
+
+
 def _split3(x32: jax.Array):
-    """Three bf16 pieces whose ordered f32 sum reconstructs x32 bitwise."""
+    """Three bf16 pieces whose ordered f32 sum reconstructs x32 bitwise.
+
+    XLA (outside-kernel) version — uses reduce_precision so the rounding
+    cannot be elided."""
+    hi = _round_bf16(x32)
+    r1 = x32 - hi
+    mid = _round_bf16(r1)
+    lo = r1 - mid
+    return (hi.astype(jnp.bfloat16), mid.astype(jnp.bfloat16),
+            lo.astype(jnp.bfloat16))
+
+
+def _split3_kernel(x32: jax.Array):
+    """In-Pallas-kernel variant of `_split3`: Mosaic has no
+    reduce_precision lowering but honors explicit astype round-trips
+    (verified on hardware — the fused kernel matches gather selections)."""
     hi = x32.astype(jnp.bfloat16)
     r1 = x32 - hi.astype(jnp.float32)
     mid = r1.astype(jnp.bfloat16)
@@ -126,8 +153,9 @@ def _two_level_operands(cdf: jax.Array, vals: jax.Array, s: int):
     N, K = vals.shape
     B = N // s
     v32 = vals.astype(jnp.float32)
-    vhi = v32.astype(jnp.bfloat16)
-    vlo = (v32 - vhi.astype(jnp.float32)).astype(jnp.bfloat16)
+    vhi_f = _round_bf16(v32)            # elision-proof (see _round_bf16)
+    vhi = vhi_f.astype(jnp.bfloat16)
+    vlo = (v32 - vhi_f).astype(jnp.bfloat16)
 
     def value_rows(x):                       # [N, K] -> [K*s, B]
         return x.reshape(B, s, K).transpose(2, 1, 0).reshape(K * s, B)

@@ -109,6 +109,37 @@ def test_fused_vmap_collapses_to_batch():
                                rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.parametrize("kernel_name", ["optimal", "prior"])
+def test_garch_fused_statistically_matches_gather(kernel_name):
+    """GARCH (2-D particle state, deterministic sigma^2 carry) fused vs
+    unfused score means within Monte-Carlo error."""
+    from sgmcmc_tpu.models import garch
+    params = garch.from_alpha_beta_gamma(0.1, 0.6, 0.2, R=0.5,
+                                         dtype=jnp.float32)
+    T, N, R = 20, 64, 60
+    ys, _ = garch.generate_data(jax.random.PRNGKey(0), params, T)
+    ys = ys.astype(jnp.float32)
+    w = jnp.ones((T,), jnp.float32)
+    pv = float(garch.stationary_variance(params))
+
+    kern = garch.get_kernel(kernel_name)
+    fused = garch.get_fused(kernel_name)
+    gather = jax.jit(lambda k: buffered.run_buffered_pf(
+        kern, garch.grad_statistic, params, ys, key=k, n_particles=N,
+        statistic_dim=4, smoother="poyiadjis_N", resampler="systematic",
+        resample_mode="gather", prior_mean=0.0, prior_var=pv))
+    g = np.stack([np.asarray(gather(jax.random.fold_in(
+        jax.random.PRNGKey(10), i)).mean_statistic) for i in range(R)])
+
+    f = np.stack([np.asarray(fused_pf_score(
+        fused, jax.random.fold_in(jax.random.PRNGKey(20), i), params,
+        ys, w, N, 0.0, pv, interpret=True)[0]) for i in range(R)])
+
+    se = np.sqrt(g.std(0) ** 2 + f.std(0) ** 2) / np.sqrt(R)
+    assert np.all(np.abs(g.mean(0) - f.mean(0)) < 4 * se + 1e-3), \
+        (g.mean(0), f.mean(0), se)
+
+
 def test_fused_score_fn_integration():
     """make_pf_score_fn(resample_mode='fused') drives an SGLD chain."""
     from sgmcmc_tpu.inference import sgmcmc
