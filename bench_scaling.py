@@ -61,7 +61,7 @@ def main():
         step = training.make_distributed_sgld_step(
             svm.KERNEL, svm.grad_statistic, svm.STATISTIC_DIM,
             svm.unpack_grad, lambda p: svm.grad_logprior(prior, p), cfg,
-            args.T, mesh, epsilon=0.1,
+            args.T, mesh, epsilon=0.1, fused_model=svm.FUSED,
             prior_mean_var_fn=lambda p: (0.0, svm.stationary_variance(p)),
             project_fn=svm.project_parameters)
         fit = training.make_distributed_fit(step, args.iters)

@@ -558,7 +558,9 @@ class SeqSampler(Sampler):
                 m.get_kernel(kernel_name), m.grad_statistic,
                 m.grad_statistic_dim, m.unpack_grad, cfg, self.lengths,
                 num_sequences=self.num_sequences,
-                prior_mean_var_fn=m.prior_mean_var)
+                prior_mean_var_fn=m.prior_mean_var,
+                fused_model=m.get_fused(kernel_name) if m.get_fused
+                else None)
             precond = None
             if preconditioned:
                 precond = sgmcmc.Preconditioner(

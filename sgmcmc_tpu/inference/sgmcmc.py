@@ -159,7 +159,8 @@ def make_seq_pf_score_fn(kernel: ParticleKernel, stat_fn: StatisticFn,
                          unpack: Callable[[jax.Array], Params],
                          config: PFScoreConfig, lengths,
                          num_sequences: int = -1,
-                         prior_mean_var_fn=None):
+                         prior_mean_var_fn=None,
+                         fused_model=None):
     """Multi-sequence buffered PF score (`SeqSGMCMCSampler`,
     `sgmcmc_sampler.py:1157-1423`).
 
@@ -180,6 +181,10 @@ def make_seq_pf_score_fn(kernel: ParticleKernel, stat_fn: StatisticFn,
     if W > min_len:
         raise ValueError(f"window {W} exceeds shortest sequence {min_len}")
     k_chosen = n_seq if num_sequences == -1 else num_sequences
+    use_fused = _fused_eligible(config, fused_model)
+    fused_interpret = use_fused and jax.default_backend() != "tpu"
+    fused_lambduh = 1.0 if config.smoother == "poyiadjis_N" \
+        else config.lambduh
 
     def one_sequence(key, params, obs_i, T_i):
         dtype = obs_i.dtype
@@ -198,6 +203,12 @@ def make_seq_pf_score_fn(kernel: ParticleKernel, stat_fn: StatisticFn,
             pm, pv = jnp.zeros((), dtype), jnp.asarray(10.0, dtype)
         else:
             pm, pv = prior_mean_var_fn(params)
+        if use_fused:
+            from ..ops.pallas.fused_pf import fused_pf_score
+            return fused_pf_score(
+                fused_model, key_pf, params, window, step_w,
+                config.n_particles, pm, pv, lambduh=fused_lambduh,
+                interpret=fused_interpret)
         out = run_buffered_pf(
             kernel, stat_fn, params, window, key=key_pf,
             n_particles=config.n_particles, statistic_dim=statistic_dim,

@@ -14,7 +14,8 @@ import jax.numpy as jnp
 from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..inference.sgmcmc import PFScoreConfig, tree_random_normal
+from ..inference.sgmcmc import (PFScoreConfig, _fused_eligible,
+                                tree_random_normal)
 from ..models.base import ParticleKernel, StatisticFn
 from ..ops.subsequence import sample_buffered_window, window_length
 from ..ops.buffered import window_weights
@@ -25,7 +26,7 @@ def make_distributed_sgld_step(
         kernel: ParticleKernel, stat_fn: StatisticFn, statistic_dim: int,
         unpack, grad_logprior_fn, config: PFScoreConfig, T: int,
         mesh: Mesh, epsilon: float, prior_mean_var_fn=None,
-        project_fn=None, is_scaled: bool = True):
+        project_fn=None, is_scaled: bool = True, fused_model=None):
     """Build step(keys [n_chains], params_stack, observations[T, m]).
 
     ``keys``/``params_stack`` have their chain axis sharded over the mesh's
@@ -36,6 +37,9 @@ def make_distributed_sgld_step(
     if config.n_particles % n_particle_shards:
         raise ValueError("n_particles must divide the particle mesh axis")
     n_local = config.n_particles // n_particle_shards
+    # the fused window kernel applies when the particle axis is unsharded
+    use_fused = n_particle_shards == 1 and _fused_eligible(config,
+                                                           fused_model)
     S = config.subsequence_length
     full = (S == -1) or (S >= T)
     W = T if full else window_length(S, config.buffer_length, T)
@@ -62,6 +66,13 @@ def make_distributed_sgld_step(
                 pm, pv = jnp.zeros((), dtype), jnp.asarray(10.0, dtype)
             else:
                 pm, pv = prior_mean_var_fn(params)
+            if use_fused:
+                from ..ops.pallas.fused_pf import fused_pf_score
+                lam = 1.0 if config.smoother == "poyiadjis_N" \
+                    else config.lambduh
+                return fused_pf_score(
+                    fused_model, kp, params, window, step_w,
+                    config.n_particles, pm, pv, lambduh=lam)
             return run_buffered_pf_sharded(
                 kernel, stat_fn, params, window, key=kp, n_local=n_local,
                 statistic_dim=statistic_dim, smoother=config.smoother,
