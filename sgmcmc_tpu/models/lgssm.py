@@ -386,6 +386,80 @@ def suff_statistic(params: LGSSMParams, x_t, x_next, y_next, t):
     ], axis=-1)
 
 
+# --------------------------------------------------------------------------
+# Fused-kernel bundles for the scalar (n = m = 1) case — the configuration
+# of every reference experiment.  See `ops/pallas/fused_pf.py`.
+# --------------------------------------------------------------------------
+
+def _fused_pack(params: LGSSMParams) -> jax.Array:
+    return jnp.stack([params.A[0, 0], params.C[0, 0],
+                      params.LQinv_vec[0], params.LRinv_vec[0]])
+
+
+def _fused_propose_prior(pv, z, x, y_t):
+    a, _, lqinv, _ = pv
+    return [a * x[0] + z[0] / lqinv]
+
+
+def _fused_reweight_prior(pv, x, x_new, y_t):
+    _, c, _, lrinv = pv
+    diff = (y_t - c * x_new[0]) * lrinv
+    return (-0.5 * _LOG_2PI + jnp.log(jnp.abs(lrinv)) - 0.5 * diff * diff)
+
+
+def _fused_propose_optimal(pv, z, x, y_t):
+    a, c, lqinv, lrinv = pv
+    qinv = lqinv * lqinv
+    rinv = lrinv * lrinv
+    sigma = 1.0 / (qinv + c * c * rinv)
+    mean = sigma * (a * x[0] * qinv + y_t * c * rinv)
+    return [mean + jnp.sqrt(sigma) * z[0]]
+
+
+def _fused_reweight_optimal(pv, x, x_new, y_t):
+    a, c, lqinv, lrinv = pv
+    y_var = c * c / (lqinv * lqinv) + 1.0 / (lrinv * lrinv)
+    diff = y_t - c * a * x[0]
+    return (-0.5 * _LOG_2PI - 0.5 * jnp.log(y_var)
+            - 0.5 * diff * diff / y_var)
+
+
+def _fused_stat(pv, x, x_new, y_t):
+    """Scalar fast path of `lgssm_complete_data_loglike_gradient`
+    (`lgssm/helper.py:1269-1277`); order matches `unpack_grad`."""
+    a, c, lqinv, lrinv = pv
+    diff = x_new[0] - a * x[0]
+    grad_A = (lqinv * lqinv) * diff * x[0]
+    grad_LQinv = 1.0 / lqinv - diff * diff * lqinv
+    diff_y = y_t - c * x_new[0]
+    grad_C = (lrinv * lrinv) * diff_y * x_new[0]
+    grad_LRinv = 1.0 / lrinv - diff_y * diff_y * lrinv
+    return [grad_LRinv, grad_LQinv, grad_C, grad_A]
+
+
+def _make_fused():
+    from ..ops.pallas.fused_pf import FusedModel
+    common = dict(n_state=1, n_stat=4, n_param=4, pack_params=_fused_pack,
+                  stat=_fused_stat)
+    return (FusedModel(propose=_fused_propose_optimal,
+                       reweight=_fused_reweight_optimal, **common),
+            FusedModel(propose=_fused_propose_prior,
+                       reweight=_fused_reweight_prior, **common))
+
+
+FUSED, FUSED_PRIOR = _make_fused()
+
+
+def get_fused(name: str | None = None):
+    """Fused bundle matching `get_kernel` — scalar models only (the
+    registry wires this in only for n = m = 1)."""
+    if name in (None, "optimal", "highdim"):
+        return FUSED
+    if name == "prior":
+        return FUSED_PRIOR
+    raise ValueError(f"Unrecognized LGSSM kernel '{name}'")
+
+
 def unpack_grad(stat: jax.Array, n: int, m: int) -> LGSSMParams:
     dr = (m * (m + 1)) // 2
     dq = (n * (n + 1)) // 2

@@ -110,6 +110,7 @@ def _lgssm_api(n: int = 1, m: int = 1) -> ModelAPI:
         generate_data=lgssm_mod.generate_data,
         prior_mean_var=lambda p: (jnp.zeros((n,), p.A.dtype),
                                   10.0 * jnp.eye(n, dtype=p.A.dtype)),
+        get_fused=(lgssm_mod.get_fused if (n == 1 and m == 1) else None),
         has_exact=True,
         marginal_loglikelihood=lgssm_mod.marginal_loglikelihood,
         gradient_marginal_loglikelihood=

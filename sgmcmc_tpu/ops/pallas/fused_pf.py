@@ -330,6 +330,9 @@ def fused_pf_score(model: FusedModel, key, params, window, step_weights,
     B = n_particles // s
     W = window.shape[0]
     D = model.n_state
+    # scalar-state prior moments may arrive as [1] / [1, 1] arrays
+    prior_mean = jnp.asarray(prior_mean, jnp.float32).reshape(-1)[0]
+    prior_var = jnp.asarray(prior_var, jnp.float32).reshape(-1)[0]
     k0, kz, kxi = jax.random.split(key, 3)
     z0 = jax.random.normal(k0, (D * s, B), jnp.float32)
     if model.init is None:

@@ -140,6 +140,34 @@ def test_garch_fused_statistically_matches_gather(kernel_name):
         (g.mean(0), f.mean(0), se)
 
 
+@pytest.mark.parametrize("kernel_name", ["optimal", "prior"])
+def test_lgssm_fused_matches_exact_kalman_gradient(kernel_name):
+    """Fused PF score on the full window -> exact marginal gradient
+    (the Kalman oracle, the reference's own correctness anchor:
+    `gradient_error_fig_scripts/lgssm_grad_compare.py:59-79`)."""
+    from sgmcmc_tpu.models import lgssm
+    params = lgssm.from_matrices(A=[[0.8]], C=[[1.0]], Q=[[0.5]],
+                                 R=[[1.0]], dtype=jnp.float64)
+    T, N, R = 16, 256, 80
+    ys, _ = lgssm.generate_data(jax.random.PRNGKey(0), params, T)
+    exact = lgssm.gradient_marginal_loglikelihood(params, ys)
+    exact_vec = np.array([
+        float(exact.LRinv_vec[0]), float(exact.LQinv_vec[0]),
+        float(exact.C[0, 0]), float(exact.A[0, 0])])
+
+    p32 = jax.tree_util.tree_map(lambda x: jnp.asarray(x, jnp.float32),
+                                 params)
+    w = jnp.ones((T,), jnp.float32)
+    fused = lgssm.get_fused(kernel_name)
+    f = np.stack([np.asarray(fused_pf_score(
+        fused, jax.random.fold_in(jax.random.PRNGKey(5), i), p32,
+        ys.astype(jnp.float32), w, N, 0.0, 10.0, interpret=True)[0])
+        for i in range(R)])
+    se = f.std(0) / np.sqrt(R)
+    z = (f.mean(0) - exact_vec) / (se + 1e-9)
+    assert np.all(np.abs(z) < 5), (f.mean(0), exact_vec, se, z)
+
+
 def test_fused_score_fn_integration():
     """make_pf_score_fn(resample_mode='fused') drives an SGLD chain."""
     from sgmcmc_tpu.inference import sgmcmc
