@@ -277,6 +277,23 @@ def fused_window_batched(model: FusedModel,
     return out[:, 0, :H], out[:, 0, H]
 
 
+def _pick_fused_chain_block(C: int, W: int, D: int, H: int, B: int) -> int:
+    """Largest power-of-two chain block whose VMEM footprint fits.
+
+    Per-chain bytes ~ normals [W, D*s, B] + aux [3W, B] + the step
+    working set (~6 arrays of [(2K+3)s, B]).  The 12 MB budget admits
+    CB=16 at the flagship SVM config (measured 9% faster than CB=8;
+    CB=32 fails to compile) and drops GARCH-sized states to CB=8."""
+    s = TWO_LEVEL_S
+    K = D + H
+    per_chain = 4 * B * (W * (D * s + 3) + 6 * (2 * K + 3) * s)
+    cb = 1
+    while (cb * 2 <= min(16, C) and C % (cb * 2) == 0
+           and (cb * 2) * per_chain <= 12 * 1024 * 1024):
+        cb *= 2
+    return cb
+
+
 def _bc(x, batched, n):
     return x if batched else jnp.broadcast_to(x, (n,) + x.shape)
 
@@ -288,8 +305,11 @@ def _fused_callable(model: FusedModel, lambduh: float, interpret: bool):
 
     @jax.custom_batching.custom_vmap
     def flat(pvec, x0, normals, ys, weights, xi):
+        C, W = ys.shape
+        B = x0.shape[-1]
+        cb = _pick_fused_chain_block(C, W, model.n_state, model.n_stat, B)
         return fused_window_batched(model, pvec, x0, normals, ys, weights,
-                                    xi, lambduh=lambduh, chain_block=8,
+                                    xi, lambduh=lambduh, chain_block=cb,
                                     interpret=interpret)
 
     @flat.def_vmap
