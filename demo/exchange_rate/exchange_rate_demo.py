@@ -51,7 +51,8 @@ def fit_model(model_name, observations, method, num_iters, N, seed=12345):
     sampler.project_parameters()
     if method == "sgld":
         kwargs = dict(epsilon=0.001, subsequence_length=16, buffer_length=4,
-                      pf="poyiadjis_N", N=N, resample_mode="auto")
+                      pf="poyiadjis_N", N=N, resample_mode="auto",
+                      resampler="systematic")
     else:  # full-sequence Langevin dynamics
         kwargs = dict(epsilon=0.1, subsequence_length=-1, pf="paris", N=N,
                       resample_mode="auto")
