@@ -81,6 +81,7 @@ class Sampler:
             lambduh=kwargs.get("lambduh", 0.95),
             n_tilde=kwargs.get("Ntilde", kwargs.get("n_tilde", 2)),
             partition_style=kwargs.get("partition_style", "uniform"),
+            ess_threshold=kwargs.get("ess_threshold", None),
         )
 
     def _default_kind(self) -> str:

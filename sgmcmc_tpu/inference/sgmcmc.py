@@ -69,6 +69,9 @@ class PFScoreConfig:
     lambduh: float = 0.95
     n_tilde: int = 2
     partition_style: str = "uniform"
+    # ESS-adaptive resampling: resample only when ESS < ess_threshold * N.
+    # None (the parity default) resamples every step, as the reference does.
+    ess_threshold: float | None = None
 
 
 def _fused_eligible(config: PFScoreConfig, fused_model) -> bool:
@@ -133,7 +136,8 @@ def make_pf_score_fn(kernel: ParticleKernel, stat_fn: StatisticFn,
             return fused_pf_score(
                 fused_model, key_pf, params, window, step_w,
                 config.n_particles, prior_mean, prior_var,
-                lambduh=fused_lambduh, interpret=fused_interpret)
+                lambduh=fused_lambduh, interpret=fused_interpret,
+                ess_threshold=config.ess_threshold)
         out = run_buffered_pf(
             kernel, stat_fn, params, window,
             key=key_pf, n_particles=config.n_particles,
@@ -141,7 +145,8 @@ def make_pf_score_fn(kernel: ParticleKernel, stat_fn: StatisticFn,
             step_weights=step_w, in_window=in_win,
             prior_mean=prior_mean, prior_var=prior_var,
             resampler=config.resampler, resample_mode=config.resample_mode,
-            lambduh=config.lambduh, n_tilde=config.n_tilde)
+            lambduh=config.lambduh, n_tilde=config.n_tilde,
+            ess_threshold=config.ess_threshold)
         return out.mean_statistic, out.loglikelihood
 
     def score_fn(key, params, observations):
@@ -208,14 +213,15 @@ def make_seq_pf_score_fn(kernel: ParticleKernel, stat_fn: StatisticFn,
             return fused_pf_score(
                 fused_model, key_pf, params, window, step_w,
                 config.n_particles, pm, pv, lambduh=fused_lambduh,
-                interpret=fused_interpret)
+                interpret=fused_interpret,
+                ess_threshold=config.ess_threshold)
         out = run_buffered_pf(
             kernel, stat_fn, params, window, key=key_pf,
             n_particles=config.n_particles, statistic_dim=statistic_dim,
             smoother=config.smoother, step_weights=step_w, in_window=in_win,
             prior_mean=pm, prior_var=pv, resampler=config.resampler,
             resample_mode=config.resample_mode, lambduh=config.lambduh,
-            n_tilde=config.n_tilde)
+            n_tilde=config.n_tilde, ess_threshold=config.ess_threshold)
         return out.mean_statistic, out.loglikelihood
 
     def score_fn(key, params, observations):

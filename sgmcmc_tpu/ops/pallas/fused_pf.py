@@ -96,7 +96,7 @@ def _cumsum_shift(x: jax.Array, axis: int) -> jax.Array:
 
 
 def _fused_window_kernel(model: FusedModel, W: int, s: int, B: int,
-                         lambduh: float,
+                         lambduh: float, ess_threshold: float | None,
                          pvec_ref,      # [CB, P, B] f32 VMEM (lane-replicated)
                          x0_ref,        # [CB, D*s, B] f32 VMEM
                          normals_ref,   # [CB, W, D*s, B] f32 VMEM
@@ -144,6 +144,19 @@ def _fused_window_kernel(model: FusedModel, W: int, s: int, B: int,
         cdf = jnp.where(ok, csum / jnp.where(ok, tot, 1.0),
                         (j_fold + 1.0) / N)
 
+        if ess_threshold is not None:
+            # ESS gate (adaptive-resampling option): skip the gather when
+            # ESS >= thr*N, carrying the normalized-to-uniform log weights
+            # into the next importance weights.  All masks/scalars derive
+            # from reductions (broadcast-safe on this Mosaic).
+            sumsq = _sum2(w * w)                              # [CB,1,1]
+            ess = tot * tot / jnp.where(sumsq > 0, sumsq, 1.0)
+            do_res = jnp.logical_or(ess < ess_threshold * N,
+                                    jnp.logical_not(ok))
+            carried = logw - mf - jnp.log(jnp.where(ok, tot, 1.0)) \
+                + jnp.log(float(N))
+            carried = jnp.where(ok, carried, 0.0)
+
         if lambduh != 1.0:
             probs = jnp.where(ok, w / jnp.where(ok, tot, 1.0), 1.0 / N)
             Sh = V[:, D * s:].reshape(CB, H, s, B)
@@ -159,14 +172,20 @@ def _fused_window_kernel(model: FusedModel, W: int, s: int, B: int,
         # block boundaries = last cdf row; cdf is cumulative in q, so the
         # sublane max IS row s-1 (and carries a broadcast-safe layout)
         bnd_row = jnp.max(cdf, axis=1, keepdims=True)         # [CB,1,B]
+        # pre-shifted boundaries: B1 = 1{bnd[l-1] <= pos < bnd[l]} comes
+        # from two compares against (bnd_prev, bnd) instead of lane-shifting
+        # the big [B',B] one-hot matrix inside every qp iteration (positions
+        # are > 0, so -1 acts as the l=0 sentinel)
+        bnd_prev = jnp.concatenate(
+            [jnp.full_like(bnd_row[:, :, :1], -1.0), bnd_row[:, :, :-1]],
+            axis=2)                                           # [CB,1,B]
 
         Ks = K * s
         outs = []
         for qp in range(s):
             posc = (s * sub_iota_col + (qp + xi_t)) / N       # [CB,B',1]
-            M1 = (posc >= bnd_row).astype(jnp.bfloat16)       # [CB,B',B]
-            ones = jnp.ones_like(M1[:, :, :1])
-            B1 = jnp.concatenate([ones, M1[:, :, :-1]], axis=2) - M1
+            B1 = ((posc >= bnd_prev).astype(jnp.bfloat16)
+                  - (posc >= bnd_row).astype(jnp.bfloat16))   # [CB,B',B]
             G = jax.lax.dot_general(
                 W1, B1, (((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=fdt)                   # [CB,R,B']
@@ -181,6 +200,8 @@ def _fused_window_kernel(model: FusedModel, W: int, s: int, B: int,
             Z = vals * jnp.concatenate([P2] * K, axis=1)      # [CB,K*s,B']
             outs.append(Z.reshape(CB, K, s, B).sum(axis=2))   # [CB,K,B']
         Vr = jnp.stack(outs, axis=2).reshape(CB, K * s, B)    # rows (k, q)
+        if ess_threshold is not None:
+            Vr = jnp.where(do_res, Vr, V)
 
         xr = [Vr[:, d * s:(d + 1) * s] for d in range(D)]
         sr = [Vr[:, (D + h) * s:(D + h + 1) * s] for h in range(H)]
@@ -189,6 +210,8 @@ def _fused_window_kernel(model: FusedModel, W: int, s: int, B: int,
         z = [normals_ref[:, t, d * s:(d + 1) * s, :] for d in range(D)]
         x_new = model.propose(pv, z, xr, y_t)
         logw_new = model.reweight(pv, xr, x_new, y_t)
+        if ess_threshold is not None:
+            logw_new = logw_new + jnp.where(do_res, 0.0, carried)
 
         # loglik increment from the NEW weights (`buffered_smoother.py:124`)
         m2 = _max2(logw_new)
@@ -227,7 +250,7 @@ def _fused_window_kernel(model: FusedModel, W: int, s: int, B: int,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "model", "lambduh", "chain_block", "interpret"))
+    "model", "lambduh", "chain_block", "interpret", "ess_threshold"))
 def fused_window_batched(model: FusedModel,
                          pvec: jax.Array,      # [C, P]
                          x0: jax.Array,        # [C, D*s, B]
@@ -237,7 +260,8 @@ def fused_window_batched(model: FusedModel,
                          xi: jax.Array,        # [C, W]
                          lambduh: float = 1.0,
                          chain_block: int = 8,
-                         interpret: bool = False):
+                         interpret: bool = False,
+                         ess_threshold: float | None = None):
     """Run the fused window for a batch of chains.
 
     Returns (mean_statistic [C, H], loglikelihood [C]).
@@ -257,7 +281,8 @@ def fused_window_batched(model: FusedModel,
     pvec_b = jnp.broadcast_to(pvec.astype(fdt)[:, :, None],
                               (C, pvec.shape[-1], B))
     out = pl.pallas_call(
-        functools.partial(_fused_window_kernel, model, W, s, B, lambduh),
+        functools.partial(_fused_window_kernel, model, W, s, B, lambduh,
+                          ess_threshold),
         grid=(C // CB,),
         in_specs=[
             pl.BlockSpec((CB, pvec.shape[-1], B), lambda i: (i, 0, 0),
@@ -299,7 +324,8 @@ def _bc(x, batched, n):
 
 
 @functools.lru_cache(maxsize=None)
-def _fused_callable(model: FusedModel, lambduh: float, interpret: bool):
+def _fused_callable(model: FusedModel, lambduh: float, interpret: bool,
+                    ess_threshold: float | None = None):
     """Single-chain fused call whose vmap collapses into real chain
     batches (nested vmaps flatten)."""
 
@@ -310,7 +336,8 @@ def _fused_callable(model: FusedModel, lambduh: float, interpret: bool):
         cb = _pick_fused_chain_block(C, W, model.n_state, model.n_stat, B)
         return fused_window_batched(model, pvec, x0, normals, ys, weights,
                                     xi, lambduh=lambduh, chain_block=cb,
-                                    interpret=interpret)
+                                    interpret=interpret,
+                                    ess_threshold=ess_threshold)
 
     @flat.def_vmap
     def flat_vmap(axis_size, in_batched, *args):
@@ -325,7 +352,7 @@ def _fused_callable(model: FusedModel, lambduh: float, interpret: bool):
         ms, ll = fused_window_batched(
             model, pvec[None], x0[None], normals[None], ys[None],
             weights[None], xi[None], lambduh=lambduh, chain_block=1,
-            interpret=interpret)
+            interpret=interpret, ess_threshold=ess_threshold)
         return ms[0], ll[0]
 
     @single.def_vmap
@@ -338,7 +365,8 @@ def _fused_callable(model: FusedModel, lambduh: float, interpret: bool):
 
 def fused_pf_score(model: FusedModel, key, params, window, step_weights,
                    n_particles: int, prior_mean, prior_var,
-                   lambduh: float = 1.0, interpret: bool = False):
+                   lambduh: float = 1.0, interpret: bool = False,
+                   ess_threshold: float | None = None):
     """Single-chain fused buffered-PF score: (mean_stat [H], loglik).
 
     Draws x0, per-step proposal normals, and systematic offsets from
@@ -365,5 +393,7 @@ def fused_pf_score(model: FusedModel, key, params, window, step_weights,
     xi = jax.random.uniform(kxi, (W,), jnp.float32)
     pvec = model.pack_params(params).astype(jnp.float32)
     ys = window.reshape(W).astype(jnp.float32)
-    fn = _fused_callable(model, float(lambduh), bool(interpret))
+    fn = _fused_callable(model, float(lambduh), bool(interpret),
+                         None if ess_threshold is None
+                         else float(ess_threshold))
     return fn(pvec, x0, normals, ys, step_weights.astype(jnp.float32), xi)

@@ -49,25 +49,59 @@ class PFStepInput(NamedTuple):
     t: jax.Array               # int32 absolute step index within the window
 
 
+def _ess_gate(log_weights: jax.Array, ess_threshold: float | None):
+    """(do_resample, carried_log_weights) for ESS-adaptive resampling.
+
+    ``carried_log_weights`` are the normalized-to-uniform log weights
+    (``logsumexp == log N``) that survive a *skipped* resampling step; with
+    ``ess_threshold=None`` (parity default: resample every step, as the
+    reference does at `pf.py:24-27`) the gate is statically always-on.
+    """
+    if ess_threshold is None:
+        return None, None
+    n = log_weights.shape[0]
+    lwn = log_weights - jax.scipy.special.logsumexp(log_weights)
+    ess = 1.0 / jnp.sum(jnp.exp(2.0 * lwn))
+    do_res = ess < ess_threshold * n
+    carried = lwn + jnp.log(jnp.asarray(float(n), log_weights.dtype))
+    return do_res, jnp.where(jnp.isfinite(carried), carried, 0.0)
+
+
 def _propagate(kernel: ParticleKernel, resampler, params, key, particles,
-               log_weights, y):
-    """Bootstrap PF step: resample -> propose -> reweight (`pf.py:7-38`)."""
+               log_weights, y, ess_threshold: float | None = None):
+    """Bootstrap PF step: resample -> propose -> reweight (`pf.py:7-38`).
+
+    With ``ess_threshold`` set, steps whose effective sample size exceeds
+    ``ess_threshold * N`` skip resampling: ancestors become the identity and
+    the normalized previous weights carry into the new importance weights
+    (the standard adaptive-resampling estimator; the per-step likelihood
+    increment ``logsumexp(new_log_w) - log N`` stays consistent).
+    """
     key_res, key_prop = jax.random.split(key)
     ancestors = resampler(key_res, log_weights)
+    do_res, carried = _ess_gate(log_weights, ess_threshold)
+    if do_res is not None:
+        iota = jnp.arange(particles.shape[0], dtype=ancestors.dtype)
+        ancestors = jnp.where(do_res, ancestors, iota)
     parents = jnp.take(particles, ancestors, axis=0)
     new_particles = kernel.propose(params, key_prop, parents, y)
     new_log_weights = kernel.reweight(params, parents, new_particles, y)
+    if do_res is not None:
+        new_log_weights = new_log_weights + jnp.where(do_res, 0.0, carried)
     return parents, new_particles, new_log_weights, ancestors
 
 
 def _propagate_apply(kernel: ParticleKernel, scheme: str, mode: str, params,
-                     key, particles, log_weights, extra_vals, y):
+                     key, particles, log_weights, extra_vals, y,
+                     ess_threshold: float | None = None):
     """Bootstrap PF step with fused resample-apply (TPU fast path).
 
     Resamples ``particles`` (and optionally per-particle ``extra_vals``,
     e.g. running smoother statistics) in one one-hot-matmul application —
     see `ops/pallas/resample.py`.  Returns (parents, new_particles,
-    new_log_weights, resampled_extra_vals).
+    new_log_weights, resampled_extra_vals).  ``ess_threshold`` selects the
+    un-resampled values instead (the matmul still runs — on TPU the gate is
+    a statistical option, not a speed one).
     """
     key_res, key_prop = jax.random.split(key)
     if extra_vals is None:
@@ -75,11 +109,16 @@ def _propagate_apply(kernel: ParticleKernel, scheme: str, mode: str, params,
     else:
         V = jnp.concatenate([particles, extra_vals], axis=-1)
     Vr = resample_apply(key_res, log_weights, V, scheme, mode)
+    do_res, carried = _ess_gate(log_weights, ess_threshold)
+    if do_res is not None:
+        Vr = jnp.where(do_res, Vr, V)
     D = particles.shape[-1]
     parents = Vr[:, :D]
     extras = None if extra_vals is None else Vr[:, D:]
     new_particles = kernel.propose(params, key_prop, parents, y)
     new_log_weights = kernel.reweight(params, parents, new_particles, y)
+    if do_res is not None:
+        new_log_weights = new_log_weights + jnp.where(do_res, 0.0, carried)
     return parents, new_particles, new_log_weights, extras
 
 
@@ -94,7 +133,8 @@ def _loglik_increment(new_log_weights):
 def make_filter_step(kernel: ParticleKernel, stat_fn: StatisticFn,
                      resampler_name: str = "multinomial",
                      logsumexp_mode: bool = False,
-                     resample_mode: str = "gather"):
+                     resample_mode: str = "gather",
+                     ess_threshold: float | None = None):
     """Filtering accumulator step: statistics [H] += E[h_t | y_{<=t}].
 
     With ``logsumexp_mode`` the accumulation is
@@ -109,11 +149,11 @@ def make_filter_step(kernel: ParticleKernel, stat_fn: StatisticFn,
         if resample_mode == "gather":
             parents, particles, log_w, _ = _propagate(
                 kernel, resampler, params, inp.key, carry.particles,
-                carry.log_weights, inp.y)
+                carry.log_weights, inp.y, ess_threshold)
         else:
             parents, particles, log_w, _ = _propagate_apply(
                 kernel, resampler_name, resample_mode, params, inp.key,
-                carry.particles, carry.log_weights, None, inp.y)
+                carry.particles, carry.log_weights, None, inp.y, ess_threshold)
         h = stat_fn(params, parents, particles, inp.y, inp.t)  # [N, H]
         scale = inp.weight * inp.in_window
         probs = normalize_log_weights(log_w)                   # [N]
@@ -133,7 +173,8 @@ def make_filter_step(kernel: ParticleKernel, stat_fn: StatisticFn,
 def make_nemeth_step(kernel: ParticleKernel, stat_fn: StatisticFn,
                      lambduh: float = 0.95,
                      resampler_name: str = "multinomial",
-                     resample_mode: str = "gather"):
+                     resample_mode: str = "gather",
+                     ess_threshold: float | None = None):
     """Nemeth et al. (2015) O(N) shrinkage smoother step (`pf.py:138-181`).
 
     ``lambduh = 1.0`` recovers Poyiadjis O(N) (`buffered_smoother.py:175`).
@@ -149,12 +190,12 @@ def make_nemeth_step(kernel: ParticleKernel, stat_fn: StatisticFn,
         if resample_mode == "gather":
             parents, particles, log_w, ancestors = _propagate(
                 kernel, resampler, params, inp.key, carry.particles,
-                carry.log_weights, inp.y)
+                carry.log_weights, inp.y, ess_threshold)
             stats_anc = jnp.take(carry.statistics, ancestors, axis=0)
         else:
             parents, particles, log_w, stats_anc = _propagate_apply(
                 kernel, resampler_name, resample_mode, params, inp.key,
-                carry.particles, carry.log_weights, carry.statistics, inp.y)
+                carry.particles, carry.log_weights, carry.statistics, inp.y, ess_threshold)
         h = stat_fn(params, parents, particles, inp.y, inp.t)   # [N, H]
         scale = inp.weight * inp.in_window
         if lambduh == 1.0:
@@ -185,7 +226,8 @@ def _backward_log_weights(kernel: ParticleKernel, params, particles,
 
 def make_poyiadjis_n2_step(kernel: ParticleKernel, stat_fn: StatisticFn,
                            resampler_name: str = "multinomial",
-                           resample_mode: str = "gather"):
+                           resample_mode: str = "gather",
+                           ess_threshold: float | None = None):
     """Poyiadjis et al. (2011) O(N^2) smoother step (`pf.py:84-136`).
 
     new_stats[i] = sum_j BW[i,j] * (stats[j] + h(x_j, x'_i)); the stats term
@@ -198,11 +240,11 @@ def make_poyiadjis_n2_step(kernel: ParticleKernel, stat_fn: StatisticFn,
         if resample_mode == "gather":
             parents, particles, log_w, _ = _propagate(
                 kernel, resampler, params, inp.key, carry.particles,
-                carry.log_weights, inp.y)
+                carry.log_weights, inp.y, ess_threshold)
         else:
             parents, particles, log_w, _ = _propagate_apply(
                 kernel, resampler_name, resample_mode, params, inp.key,
-                carry.particles, carry.log_weights, None, inp.y)
+                carry.particles, carry.log_weights, None, inp.y, ess_threshold)
         log_bw = _backward_log_weights(kernel, params, carry.particles,
                                        carry.log_weights, particles)
         bw = jax.nn.softmax(log_bw, axis=-1)                     # [N, N]
@@ -229,7 +271,8 @@ def make_poyiadjis_n2_step(kernel: ParticleKernel, stat_fn: StatisticFn,
 def make_paris_step(kernel: ParticleKernel, stat_fn: StatisticFn,
                     n_tilde: int = 2,
                     resampler_name: str = "multinomial",
-                    resample_mode: str = "gather"):
+                    resample_mode: str = "gather",
+                    ess_threshold: float | None = None):
     """PaRIS (Olsson & Westerborn) step with exact backward sampling.
 
     Draws ``n_tilde`` backward indices per particle directly from the
@@ -243,11 +286,11 @@ def make_paris_step(kernel: ParticleKernel, stat_fn: StatisticFn,
         if resample_mode == "gather":
             parents, particles, log_w, _ = _propagate(
                 kernel, resampler, params, key_prop, carry.particles,
-                carry.log_weights, inp.y)
+                carry.log_weights, inp.y, ess_threshold)
         else:
             parents, particles, log_w, _ = _propagate_apply(
                 kernel, resampler_name, resample_mode, params, key_prop,
-                carry.particles, carry.log_weights, None, inp.y)
+                carry.particles, carry.log_weights, None, inp.y, ess_threshold)
         log_bw = _backward_log_weights(kernel, params, carry.particles,
                                        carry.log_weights, particles)  # [N, N]
         n = particles.shape[0]
@@ -334,7 +377,8 @@ def make_paris_ar_step(kernel: ParticleKernel, stat_fn: StatisticFn,
                        n_tilde: int = 2,
                        resampler_name: str = "multinomial",
                        resample_mode: str = "gather",
-                       max_accept_reject: int | None = None):
+                       max_accept_reject: int | None = None,
+                       ess_threshold: float | None = None):
     """PaRIS step with accept-reject backward sampling (O(N K) expected)."""
     resampler = get_resampler(resampler_name)
 
@@ -343,11 +387,11 @@ def make_paris_ar_step(kernel: ParticleKernel, stat_fn: StatisticFn,
         if resample_mode == "gather":
             parents, particles, log_w, _ = _propagate(
                 kernel, resampler, params, key_prop, carry.particles,
-                carry.log_weights, inp.y)
+                carry.log_weights, inp.y, ess_threshold)
         else:
             parents, particles, log_w, _ = _propagate_apply(
                 kernel, resampler_name, resample_mode, params, key_prop,
-                carry.particles, carry.log_weights, None, inp.y)
+                carry.particles, carry.log_weights, None, inp.y, ess_threshold)
         J = accept_reject_backward_indices(
             key_bs, kernel, params, carry.particles, carry.log_weights,
             particles, n_tilde, max_accept_reject)       # [N, K]
@@ -371,24 +415,26 @@ def make_smoother_step(name: str, kernel: ParticleKernel, stat_fn: StatisticFn,
                        resampler_name: str = "multinomial",
                        lambduh: float = 0.95, n_tilde: int = 2,
                        logsumexp_mode: bool = False,
-                       resample_mode: str = "gather"):
+                       resample_mode: str = "gather",
+                       ess_threshold: float | None = None):
     """Dispatch by smoother name (`buffered_smoother.py:156-199`)."""
     if name == "filter":
         return make_filter_step(kernel, stat_fn, resampler_name,
-                                logsumexp_mode, resample_mode)
+                                logsumexp_mode, resample_mode, ess_threshold)
     if name == "nemeth":
         return make_nemeth_step(kernel, stat_fn, lambduh, resampler_name,
-                                resample_mode)
+                                resample_mode, ess_threshold)
     if name == "poyiadjis_N":
         return make_nemeth_step(kernel, stat_fn, 1.0, resampler_name,
-                                resample_mode)
+                                resample_mode, ess_threshold)
     if name == "poyiadjis_N2":
         return make_poyiadjis_n2_step(kernel, stat_fn, resampler_name,
-                                      resample_mode)
+                                      resample_mode, ess_threshold)
     if name == "paris":
         return make_paris_step(kernel, stat_fn, n_tilde, resampler_name,
-                               resample_mode)
+                               resample_mode, ess_threshold)
     if name == "paris_ar":
         return make_paris_ar_step(kernel, stat_fn, n_tilde, resampler_name,
-                                  resample_mode)
+                                  resample_mode, max_accept_reject=None,
+                                  ess_threshold=ess_threshold)
     raise ValueError(f"Unrecognized pf = '{name}'")
