@@ -37,7 +37,8 @@ def main():
     cfg = sgmcmc.PFScoreConfig(
         n_particles=N_PARTICLES, subsequence_length=SUBSEQ,
         buffer_length=BUFFER, minibatch_size=1, smoother="poyiadjis_N",
-        resampler="systematic", resample_mode="auto")
+        resampler="systematic", resample_mode="auto",
+        rng="kernel" if jax.default_backend() == "tpu" else "host")
     score_fn = sgmcmc.make_pf_score_fn(
         svm.KERNEL, svm.grad_statistic, svm.STATISTIC_DIM, svm.unpack_grad,
         cfg, T,

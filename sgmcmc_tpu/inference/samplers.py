@@ -82,6 +82,7 @@ class Sampler:
             n_tilde=kwargs.get("Ntilde", kwargs.get("n_tilde", 2)),
             partition_style=kwargs.get("partition_style", "uniform"),
             ess_threshold=kwargs.get("ess_threshold", None),
+            rng=kwargs.get("rng", "host"),
         )
 
     def _default_kind(self) -> str:

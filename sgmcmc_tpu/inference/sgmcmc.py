@@ -72,6 +72,10 @@ class PFScoreConfig:
     # ESS-adaptive resampling: resample only when ESS < ess_threshold * N.
     # None (the parity default) resamples every step, as the reference does.
     ess_threshold: float | None = None
+    # 'kernel' generates proposal normals inside the fused Pallas kernel
+    # (hardware PRNG; saves the [W, D*s, B]-per-chain HBM stream).  Only
+    # affects the fused path; 'host' keeps key-deterministic draws.
+    rng: str = "host"
 
 
 def _fused_eligible(config: PFScoreConfig, fused_model) -> bool:
@@ -137,7 +141,7 @@ def make_pf_score_fn(kernel: ParticleKernel, stat_fn: StatisticFn,
                 fused_model, key_pf, params, window, step_w,
                 config.n_particles, prior_mean, prior_var,
                 lambduh=fused_lambduh, interpret=fused_interpret,
-                ess_threshold=config.ess_threshold)
+                ess_threshold=config.ess_threshold, rng=config.rng)
         out = run_buffered_pf(
             kernel, stat_fn, params, window,
             key=key_pf, n_particles=config.n_particles,
@@ -214,7 +218,7 @@ def make_seq_pf_score_fn(kernel: ParticleKernel, stat_fn: StatisticFn,
                 fused_model, key_pf, params, window, step_w,
                 config.n_particles, pm, pv, lambduh=fused_lambduh,
                 interpret=fused_interpret,
-                ess_threshold=config.ess_threshold)
+                ess_threshold=config.ess_threshold, rng=config.rng)
         out = run_buffered_pf(
             kernel, stat_fn, params, window, key=key_pf,
             n_particles=config.n_particles, statistic_dim=statistic_dim,

@@ -95,11 +95,25 @@ def _cumsum_shift(x: jax.Array, axis: int) -> jax.Array:
     return x
 
 
+def _box_muller(shape):
+    """Standard normals from the in-kernel PRNG (Box-Muller on 23-bit
+    uniforms; `prng_seed` must have been called).  Verified to lower and
+    produce correct moments on this Mosaic (scripts/tpu_probe_kernel_rng.py)."""
+    b1 = pltpu.prng_random_bits(shape)
+    b2 = pltpu.prng_random_bits(shape)
+    u1 = ((b1 & 0x7fffff).astype(jnp.float32) + 0.5) * (2.0 ** -23)
+    u2 = ((b2 & 0x7fffff).astype(jnp.float32) + 0.5) * (2.0 ** -23)
+    return jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(
+        (2.0 * 3.14159265358979) * u2)
+
+
 def _fused_window_kernel(model: FusedModel, W: int, s: int, B: int,
                          lambduh: float, ess_threshold: float | None,
+                         kernel_rng: bool,
                          pvec_ref,      # [CB, P, B] f32 VMEM (lane-replicated)
                          x0_ref,        # [CB, D*s, B] f32 VMEM
-                         normals_ref,   # [CB, W, D*s, B] f32 VMEM
+                         normals_ref,   # [CB, W, D*s, B] f32 VMEM, or (with
+                                        # kernel_rng) [CB, 1] int32 SMEM seeds
                          aux_ref,       # [CB, 3*W, B] f32 VMEM: rows
                                         # [y_t | w_t | xi_t], lane-replicated
                          out_ref):      # [CB, 1, H+1] f32 VMEM
@@ -108,6 +122,10 @@ def _fused_window_kernel(model: FusedModel, W: int, s: int, B: int,
     CB = x0_ref.shape[0]
     N = s * B
     fdt = jnp.float32
+    if kernel_rng:
+        # One stream per grid block: proposal normals are generated on the
+        # fly instead of streaming a [W, D*s, B] array per chain from HBM.
+        pltpu.prng_seed(normals_ref[0, 0], pl.program_id(0))
 
     def fiota(shape, dim):
         return jax.lax.broadcasted_iota(jnp.int32, shape, dim).astype(fdt)
@@ -207,7 +225,11 @@ def _fused_window_kernel(model: FusedModel, W: int, s: int, B: int,
         sr = [Vr[:, (D + h) * s:(D + h + 1) * s] for h in range(H)]
 
         # ---- propose / reweight / statistic update
-        z = [normals_ref[:, t, d * s:(d + 1) * s, :] for d in range(D)]
+        if kernel_rng:
+            zfull = _box_muller((CB, D * s, B))
+            z = [zfull[:, d * s:(d + 1) * s, :] for d in range(D)]
+        else:
+            z = [normals_ref[:, t, d * s:(d + 1) * s, :] for d in range(D)]
         x_new = model.propose(pv, z, xr, y_t)
         logw_new = model.reweight(pv, xr, x_new, y_t)
         if ess_threshold is not None:
@@ -250,18 +272,21 @@ def _fused_window_kernel(model: FusedModel, W: int, s: int, B: int,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "model", "lambduh", "chain_block", "interpret", "ess_threshold"))
+    "model", "lambduh", "chain_block", "interpret", "ess_threshold",
+    "kernel_rng"))
 def fused_window_batched(model: FusedModel,
                          pvec: jax.Array,      # [C, P]
                          x0: jax.Array,        # [C, D*s, B]
-                         normals: jax.Array,   # [C, W, D*s, B]
+                         normals: jax.Array,   # [C, W, D*s, B], or (with
+                                               # kernel_rng) [C] int32 seeds
                          ys: jax.Array,        # [C, W]
                          weights: jax.Array,   # [C, W]
                          xi: jax.Array,        # [C, W]
                          lambduh: float = 1.0,
                          chain_block: int = 8,
                          interpret: bool = False,
-                         ess_threshold: float | None = None):
+                         ess_threshold: float | None = None,
+                         kernel_rng: bool = False):
     """Run the fused window for a batch of chains.
 
     Returns (mean_statistic [C, H], loglikelihood [C]).
@@ -280,17 +305,25 @@ def fused_window_batched(model: FusedModel,
         (C, 3 * W, B))                   # [C, 3W, B] lane-replicated
     pvec_b = jnp.broadcast_to(pvec.astype(fdt)[:, :, None],
                               (C, pvec.shape[-1], B))
+    if kernel_rng:
+        normals_spec = pl.BlockSpec((CB, 1), lambda i: (i, 0),
+                                    memory_space=pltpu.SMEM)
+        normals_arg = normals.reshape(C, 1).astype(jnp.int32)
+    else:
+        normals_spec = pl.BlockSpec((CB, W, D * s, B),
+                                    lambda i: (i, 0, 0, 0),
+                                    memory_space=pltpu.VMEM)
+        normals_arg = normals.astype(fdt)
     out = pl.pallas_call(
         functools.partial(_fused_window_kernel, model, W, s, B, lambduh,
-                          ess_threshold),
+                          ess_threshold, kernel_rng),
         grid=(C // CB,),
         in_specs=[
             pl.BlockSpec((CB, pvec.shape[-1], B), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((CB, D * s, B), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((CB, W, D * s, B), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
+            normals_spec,
             pl.BlockSpec((CB, 3 * W, B), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -298,22 +331,28 @@ def fused_window_batched(model: FusedModel,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((C, 1, H + 1), fdt),
         interpret=interpret,
-    )(pvec_b, x0.astype(fdt), normals.astype(fdt), aux)
+    )(pvec_b, x0.astype(fdt), normals_arg, aux)
     return out[:, 0, :H], out[:, 0, H]
 
 
-def _pick_fused_chain_block(C: int, W: int, D: int, H: int, B: int) -> int:
+def _pick_fused_chain_block(C: int, W: int, D: int, H: int, B: int,
+                            kernel_rng: bool = False) -> int:
     """Largest power-of-two chain block whose VMEM footprint fits.
 
-    Per-chain bytes ~ normals [W, D*s, B] + aux [3W, B] + the step
-    working set (~6 arrays of [(2K+3)s, B]).  The 12 MB budget admits
-    CB=16 at the flagship SVM config (measured 9% faster than CB=8;
-    CB=32 fails to compile) and drops GARCH-sized states to CB=8."""
+    Per-chain bytes ~ normals [W, D*s, B] (absent with in-kernel RNG) +
+    aux [3W, B] + the step working set (~6 arrays of [(2K+3)s, B]).  The
+    12 MB budget admits CB=16 at the flagship SVM config (measured 9%
+    faster than CB=8; CB=32 fails to compile) and drops GARCH-sized
+    states to CB=8.  In-kernel RNG removes the normals stream, which
+    admits CB=32 at the flagship config (measured +3.4% over CB=16;
+    CB=64 exceeds VMEM)."""
     s = TWO_LEVEL_S
     K = D + H
-    per_chain = 4 * B * (W * (D * s + 3) + 6 * (2 * K + 3) * s)
+    normals_term = 0 if kernel_rng else W * D * s
+    cap = 32 if kernel_rng else 16
+    per_chain = 4 * B * (normals_term + 3 * W + 6 * (2 * K + 3) * s)
     cb = 1
-    while (cb * 2 <= min(16, C) and C % (cb * 2) == 0
+    while (cb * 2 <= min(cap, C) and C % (cb * 2) == 0
            and (cb * 2) * per_chain <= 12 * 1024 * 1024):
         cb *= 2
     return cb
@@ -325,7 +364,8 @@ def _bc(x, batched, n):
 
 @functools.lru_cache(maxsize=None)
 def _fused_callable(model: FusedModel, lambduh: float, interpret: bool,
-                    ess_threshold: float | None = None):
+                    ess_threshold: float | None = None,
+                    kernel_rng: bool = False):
     """Single-chain fused call whose vmap collapses into real chain
     batches (nested vmaps flatten)."""
 
@@ -333,11 +373,13 @@ def _fused_callable(model: FusedModel, lambduh: float, interpret: bool,
     def flat(pvec, x0, normals, ys, weights, xi):
         C, W = ys.shape
         B = x0.shape[-1]
-        cb = _pick_fused_chain_block(C, W, model.n_state, model.n_stat, B)
+        cb = _pick_fused_chain_block(C, W, model.n_state, model.n_stat, B,
+                                     kernel_rng)
         return fused_window_batched(model, pvec, x0, normals, ys, weights,
                                     xi, lambduh=lambduh, chain_block=cb,
                                     interpret=interpret,
-                                    ess_threshold=ess_threshold)
+                                    ess_threshold=ess_threshold,
+                                    kernel_rng=kernel_rng)
 
     @flat.def_vmap
     def flat_vmap(axis_size, in_batched, *args):
@@ -352,7 +394,8 @@ def _fused_callable(model: FusedModel, lambduh: float, interpret: bool,
         ms, ll = fused_window_batched(
             model, pvec[None], x0[None], normals[None], ys[None],
             weights[None], xi[None], lambduh=lambduh, chain_block=1,
-            interpret=interpret, ess_threshold=ess_threshold)
+            interpret=interpret, ess_threshold=ess_threshold,
+            kernel_rng=kernel_rng)
         return ms[0], ll[0]
 
     @single.def_vmap
@@ -366,12 +409,19 @@ def _fused_callable(model: FusedModel, lambduh: float, interpret: bool,
 def fused_pf_score(model: FusedModel, key, params, window, step_weights,
                    n_particles: int, prior_mean, prior_var,
                    lambduh: float = 1.0, interpret: bool = False,
-                   ess_threshold: float | None = None):
+                   ess_threshold: float | None = None,
+                   rng: str = "host"):
     """Single-chain fused buffered-PF score: (mean_stat [H], loglik).
 
     Draws x0, per-step proposal normals, and systematic offsets from
     ``key``, then runs the fused kernel; under vmap, chains collapse into
     chain-blocked kernel batches.
+
+    ``rng='kernel'`` generates the proposal normals *inside* the kernel
+    (hardware PRNG + Box-Muller) instead of streaming a [W, D*s, B] array
+    per chain from HBM — statistically equivalent iid normals, but draws
+    depend on the chain-block layout rather than only on ``key`` (x0 and
+    the systematic offsets stay key-deterministic).
     """
     s = TWO_LEVEL_S
     assert n_particles % s == 0, "fused path needs N divisible by 8"
@@ -389,11 +439,17 @@ def fused_pf_score(model: FusedModel, key, params, window, step_weights,
         x0_list = model.init([z0[d * s:(d + 1) * s] for d in range(D)],
                              prior_mean, prior_var)
         x0 = jnp.concatenate(x0_list, axis=0)
-    normals = jax.random.normal(kz, (W, D * s, B), jnp.float32)
+    # interpret mode (CPU tests) has no prng_seed lowering — the host path
+    # is the statistically identical fallback
+    kernel_rng = rng == "kernel" and not interpret
+    if kernel_rng:
+        normals = jax.random.bits(kz, (), jnp.uint32).astype(jnp.int32)
+    else:
+        normals = jax.random.normal(kz, (W, D * s, B), jnp.float32)
     xi = jax.random.uniform(kxi, (W,), jnp.float32)
     pvec = model.pack_params(params).astype(jnp.float32)
     ys = window.reshape(W).astype(jnp.float32)
     fn = _fused_callable(model, float(lambduh), bool(interpret),
                          None if ess_threshold is None
-                         else float(ess_threshold))
+                         else float(ess_threshold), kernel_rng)
     return fn(pvec, x0, normals, ys, step_weights.astype(jnp.float32), xi)
