@@ -429,24 +429,45 @@ class Sampler:
     # -- prediction / latent recovery --------------------------------------
     def predict(self, target: str = "latent", kind: str | None = None,
                 pf: str = "poyiadjis_N", N: int = 1000, squared=False,
-                **kwargs):
-        """Smoothed latent mean/cov (`predict`,
+                lag=None, num_samples: int | None = None, **kwargs):
+        """Latent/observation prediction (`predict`,
         `sgmcmc_sampler.py:956-1123`; PF path `pf_latent_var_distr`,
-        e.g. `svm/helper.py:249-294`)."""
-        if target != "latent":
-            raise NotImplementedError("predict supports target='latent'")
+        e.g. `svm/helper.py:249-294`).
+
+        target 'latent' or 'y'; ``lag`` selects p(. | y_{<= t+lag})
+        (None = smoothed) on the message-passing path; ``num_samples``
+        switches from distributions to joint posterior draws
+        (`latent_var_sample` / `y_sample`).
+        """
+        if target not in ("latent", "y"):
+            raise ValueError(f"Unrecognized target '{target}'")
         m = self.model
         if kind is None:
             kind = self._default_kind()
         if kind == "marginal":
-            from ..models import lgssm as lgssm_mod
-            from ..ops import kalman
-            p = self.parameters
-            mean, cov = kalman.pairwise_smoothed_moments(
-                self.observations, p.A, p.C, p.LQinv, p.LRinv,
-                lgssm_mod.default_forward_message(p),
-                lgssm_mod.default_backward_message(p))
-            return np.asarray(mean), np.asarray(cov)
+            if m.name.startswith("lgssm"):
+                from ..models import lgssm as lgssm_mod
+                p = self.parameters
+                if num_samples is not None:
+                    fn = (lgssm_mod.latent_var_sample if target == "latent"
+                          else lgssm_mod.y_sample)
+                    return np.asarray(fn(p, self.next_key(),
+                                         self.observations,
+                                         num_samples=num_samples))
+                fn = (lgssm_mod.latent_var_distr if target == "latent"
+                      else lgssm_mod.y_distr)
+                mean, cov = fn(p, self.observations, lag=lag)
+                return np.asarray(mean), np.asarray(cov)
+            if m.latent_var_distr is not None and target == "latent":
+                # discrete-state models: probs [T, K] / FFBS z draws
+                if num_samples is not None:
+                    return np.asarray(m.latent_var_sample(
+                        self.parameters, self.next_key(),
+                        self.observations))
+                return np.asarray(m.latent_var_distr(self.parameters,
+                                                     self.observations))
+            raise NotImplementedError(
+                f"{m.name} has no analytic predict for target='{target}'")
         # PF path: full-sequence elementwise sufficient statistics
         from ..ops.buffered import run_buffered_pf
         T = self.T
@@ -513,8 +534,31 @@ class Sampler:
         return out
 
     # -- simulate ----------------------------------------------------------
-    def simulate(self, T: int, parameters=None):
+    def simulate(self, T: int, parameters=None, return_distr: bool = False,
+                 num_samples: int | None = None, include_init: bool = True):
+        """Simulate dynamics (`simulate`, `sgmcmc_sampler.py:1071-1123`).
+
+        Default: one (ys, xs) draw via the model's data generator.  For the
+        LGSSM, ``return_distr=True`` returns the analytic prior moment
+        trajectories (`simulate_distr`) and ``num_samples`` draws joint
+        trajectories from the initial message (`simulate_paths`).
+        """
         p = self.parameters if parameters is None else parameters
+        if return_distr or num_samples is not None:
+            if not self.model.name.startswith("lgssm"):
+                raise NotImplementedError(
+                    "distributional simulate supports the LGSSM")
+            from ..models import lgssm as lgssm_mod
+            if return_distr:
+                return jax.tree_util.tree_map(
+                    np.asarray,
+                    lgssm_mod.simulate_distr(p, T,
+                                             include_init=include_init))
+            return jax.tree_util.tree_map(
+                np.asarray,
+                lgssm_mod.simulate_paths(p, self.next_key(), T,
+                                         num_samples=num_samples,
+                                         include_init=include_init))
         return self.model.generate_data(self.next_key(), p, T)
 
 

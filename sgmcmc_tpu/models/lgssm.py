@@ -149,6 +149,116 @@ def latent_var_sample(params: LGSSMParams, key, observations,
                               num_samples)
 
 
+def latent_var_distr(params: LGSSMParams, observations, lag=None,
+                     forward_msg=None, backward_msg=None):
+    """Marginals p(x_t | y_{<= t+lag}); lag=None -> smoothed
+    (`latent_var_distr`, `lgssm/helper.py:558-648`).  Returns
+    (mean [T, n], cov [T, n, n])."""
+    if forward_msg is None:
+        forward_msg = default_forward_message(params)
+    if backward_msg is None:
+        backward_msg = default_backward_message(params)
+    if lag is None:
+        return kalman.pairwise_smoothed_moments(
+            observations, params.A, params.C, params.LQinv, params.LRinv,
+            forward_msg, backward_msg)
+    return kalman.lagged_moments(
+        observations, params.A, params.C, params.LQinv, params.LRinv,
+        forward_msg, backward_msg, int(lag))
+
+
+def y_distr(params: LGSSMParams, observations, lag=None,
+            forward_msg=None, backward_msg=None):
+    """Observation marginals: mean = C x_mean, cov = C P C^T + R
+    (`y_distr`, `lgssm/helper.py:819-846`)."""
+    x_mean, x_cov = latent_var_distr(params, observations, lag,
+                                     forward_msg, backward_msg)
+    C, R = params.C, params.R
+    y_mean = x_mean @ C.T
+    y_cov = jnp.einsum('ij,tjk,lk->til', C, x_cov, C) + R
+    return y_mean, y_cov
+
+
+def y_sample(params: LGSSMParams, key, observations, num_samples: int = 1,
+             forward_msg=None):
+    """Joint posterior-predictive draws of y_{0:T-1}: FFBS latent paths
+    plus emission noise (`y_sample`, `lgssm/helper.py:880-909`)."""
+    key_x, key_eps = jax.random.split(key)
+    x = latent_var_sample(params, key_x, observations, forward_msg,
+                          num_samples)
+    LR = jnp.linalg.cholesky(params.R)
+    eps = jax.random.normal(key_eps, x.shape[:-1] + (params.m,),
+                            observations.dtype)
+    return x @ params.C.T + eps @ LR.T
+
+
+def simulate_distr(params: LGSSMParams, T: int, init_message=None,
+                   include_init: bool = True):
+    """Prior moment propagation (`simulate_distr`,
+    `lgssm/helper.py:911-957`): dict of latent/observation mean + cov
+    trajectories of length T+1 (or T without the init element)."""
+    if init_message is None:
+        init_message = default_forward_message(params)
+    A, C, Q, R = params.A, params.C, params.Q, params.R
+    m0 = jnp.linalg.solve(init_message.precision,
+                          init_message.mean_precision)
+    P0 = jnp.linalg.inv(init_message.precision)
+
+    def step(carry, _):
+        mean, cov = carry
+        mean = A @ mean
+        cov = A @ cov @ A.T + Q
+        return (mean, cov), (mean, cov)
+
+    _, (means, covs) = jax.lax.scan(step, (m0, P0), None, length=T)
+    means = jnp.concatenate([m0[None], means])
+    covs = jnp.concatenate([P0[None], covs])
+    if not include_init:
+        means, covs = means[1:], covs[1:]
+    return dict(latent_vars_mean=means, latent_vars_cov=covs,
+                obs_mean=means @ C.T,
+                obs_cov=jnp.einsum('ij,tjk,lk->til', C, covs, C) + R)
+
+
+def simulate_paths(params: LGSSMParams, key, T: int, num_samples: int = 1,
+                   init_message=None, include_init: bool = True):
+    """Joint prior samples of (x, y) trajectories (`simulate`,
+    `lgssm/helper.py:959-1014`).  Returns dict(latent_vars [S?, T(+1), n],
+    observations [S?, T(+1), m]); leading sample axis dropped when
+    num_samples == 1."""
+    if init_message is None:
+        init_message = default_forward_message(params)
+    A, C = params.A, params.C
+    LQ = jnp.linalg.cholesky(params.Q)
+    LR = jnp.linalg.cholesky(params.R)
+    m0 = jnp.linalg.solve(init_message.precision,
+                          init_message.mean_precision)
+    L0 = jnp.linalg.cholesky(jnp.linalg.inv(init_message.precision))
+
+    def one(k):
+        k0, kx, ky = jax.random.split(k, 3)
+        x0 = m0 + L0 @ jax.random.normal(k0, (params.n,), A.dtype)
+        zx = jax.random.normal(kx, (T, params.n), A.dtype)
+        zy = jax.random.normal(ky, (T + 1, params.m), A.dtype)
+
+        def step(x, z):
+            x = A @ x + LQ @ z
+            return x, x
+
+        _, xs = jax.lax.scan(step, x0, zx)
+        xs = jnp.concatenate([x0[None], xs])
+        ys = xs @ C.T + zy @ LR.T
+        if not include_init:
+            return xs[1:], ys[1:]
+        return xs, ys
+
+    keys = jax.random.split(key, num_samples)
+    xs, ys = jax.vmap(one)(keys)
+    if num_samples == 1:
+        xs, ys = xs[0], ys[0]
+    return dict(latent_vars=xs, observations=ys)
+
+
 def windowed_marginal_gradient(params: LGSSMParams, window, valid, weights,
                                B: int, S: int):
     """Buffered exact-gradient estimator over one fixed-shape window.

@@ -40,6 +40,7 @@ class ModelAPI:
     gradient_marginal_loglikelihood: Callable | None = None
     windowed_marginal_gradient: Callable | None = None
     latent_var_sample: Callable | None = None
+    latent_var_distr: Callable | None = None
     gibbs_step: Callable | None = None
     # PF support (None for purely discrete models)
     has_pf: bool = True
@@ -117,6 +118,7 @@ def _lgssm_api(n: int = 1, m: int = 1) -> ModelAPI:
         lgssm_mod.gradient_marginal_loglikelihood,
         windowed_marginal_gradient=lgssm_mod.windowed_marginal_gradient,
         latent_var_sample=lgssm_mod.latent_var_sample,
+        latent_var_distr=lgssm_mod.latent_var_distr,
         gibbs_step=lgssm_mod.gibbs_step,
         precondition=lgssm_mod.precondition,
         precondition_noise=lgssm_mod.precondition_noise,
@@ -152,6 +154,7 @@ def _gauss_hmm_api(num_states: int = 2, m: int = 1) -> ModelAPI:
         gauss_hmm_mod.gradient_marginal_loglikelihood,
         windowed_marginal_gradient=gauss_hmm_mod.windowed_marginal_gradient,
         latent_var_sample=gauss_hmm_mod.latent_var_sample,
+        latent_var_distr=gauss_hmm_mod.latent_var_distr,
         gibbs_step=gauss_hmm_mod.gibbs_step,
         precondition=gauss_hmm_mod.precondition,
         precondition_noise=gauss_hmm_mod.precondition_noise,
@@ -181,6 +184,7 @@ def _arphmm_api(num_states: int = 2, m: int = 1, p: int = 1) -> ModelAPI:
         arphmm_mod.gradient_marginal_loglikelihood,
         windowed_marginal_gradient=arphmm_mod.windowed_marginal_gradient,
         latent_var_sample=arphmm_mod.latent_var_sample,
+        latent_var_distr=arphmm_mod.latent_var_distr,
         precondition=arphmm_mod.precondition,
         precondition_noise=arphmm_mod.precondition_noise,
         correction_term=arphmm_mod.correction_term,

@@ -300,6 +300,51 @@ def filtered_moments(observations, A, C, LQinv, LRinv, forward_msg):
     return mean, cov
 
 
+def lagged_moments(observations, A, C, LQinv, LRinv, forward_msg,
+                   backward_msg, lag: int):
+    """Lagged marginals p(x_t | y_{<= t+lag}) for t = 0..T-1.
+
+    Re-derives `latent_var_distr`'s lag modes
+    (`lgssm/helper.py:558-648`): ``lag <= 0`` takes the filtered moments at
+    ``t+lag`` (the prior message before the sequence start) and propagates
+    ``-lag`` transition steps; ``lag > 0`` is fixed-lag smoothing — the
+    filtered message at ``t`` combines with a backward message over the
+    (validity-masked, fixed-shape) window ``y_{t+1 .. t+lag}``.
+    """
+    T = observations.shape[0]
+    dtype = observations.dtype
+    fmsgs = forward_messages(observations, A, C, LQinv, LRinv, forward_msg)
+    if lag <= 0:
+        idx = jnp.clip(jnp.arange(T) + lag + 1, 0, T)
+        h = fmsgs.mean_precision[idx]
+        J = fmsgs.precision[idx]
+        mean = jnp.linalg.solve(J, h[..., None])[..., 0]
+        cov = jnp.linalg.inv(J)
+        Qinv = LQinv @ LQinv.T
+        Q = jnp.linalg.inv(Qinv + 1e-16 * jnp.eye(Qinv.shape[0], dtype=dtype))
+        for _ in range(-lag):
+            mean = mean @ A.T
+            cov = jnp.einsum('ij,tjk,lk->til', A, cov, A) + Q
+        return mean, cov
+
+    # fixed-lag: per-t backward message over y_{t+1 .. t+lag}
+    idx2 = jnp.arange(T)[:, None] + 1 + jnp.arange(lag)[None, :]  # [T, lag]
+    valid = (idx2 < T).astype(dtype)
+    windows = jnp.take(observations, jnp.clip(idx2, 0, T - 1), axis=0)
+
+    def back_one(win, vld):
+        msg = backward_message(win, A, C, LQinv, LRinv, backward_msg,
+                               valid=vld)
+        return msg.mean_precision, msg.precision
+
+    b_h, b_J = jax.vmap(back_one)(windows, valid)                 # [T, n(,n)]
+    h = fmsgs.mean_precision[1:] + b_h
+    J = fmsgs.precision[1:] + b_J
+    mean = jnp.linalg.solve(J, h[..., None])[..., 0]
+    cov = jnp.linalg.inv(J)
+    return mean, cov
+
+
 def ffbs_sample(key, observations, A, C, LQinv, LRinv, forward_msg,
                 num_samples: int = 1):
     """Forward-filter backward-sample of the latent path x_{0:T-1} | y.

@@ -1,0 +1,122 @@
+"""Prediction-surface parity: lagged latent distr, y distr/sample,
+simulate distributions (`predict`/`simulate` dispatch,
+`sgmcmc_sampler.py:956-1123`; LGSSM helper `lgssm/helper.py:558-1014`).
+
+Correctness anchors are internal consistency identities of the LGSSM:
+* lag >= T-1 fixed-lag == smoothed; lag = 0 == filtered moments;
+  lag = -k equals filtered propagated k transition steps;
+* y_distr == C-projected latent distr plus R;
+* Monte-Carlo means of y_sample / simulate_paths match the analytic
+  distributions within standard error.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sgmcmc_tpu.inference.samplers import GaussHMMSampler, LGSSMSampler
+from sgmcmc_tpu.models import lgssm
+from sgmcmc_tpu.ops import kalman
+
+PARAMS = lgssm.from_matrices(A=[[0.9]], C=[[1.0]], Q=[[0.4]], R=[[0.8]],
+                             dtype=jnp.float64)
+YS, XS = lgssm.generate_data(jax.random.PRNGKey(0), PARAMS, 30)
+
+
+def test_fixed_lag_converges_to_smoothed():
+    sm_mean, sm_cov = lgssm.latent_var_distr(PARAMS, YS, lag=None)
+    fl_mean, fl_cov = lgssm.latent_var_distr(PARAMS, YS, lag=YS.shape[0])
+    np.testing.assert_allclose(np.asarray(fl_mean), np.asarray(sm_mean),
+                               rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(fl_cov), np.asarray(sm_cov),
+                               rtol=1e-8)
+
+
+def test_lag_zero_is_filtered():
+    f_mean, f_cov = kalman.filtered_moments(
+        YS, PARAMS.A, PARAMS.C, PARAMS.LQinv, PARAMS.LRinv,
+        lgssm.default_forward_message(PARAMS))
+    l_mean, l_cov = lgssm.latent_var_distr(PARAMS, YS, lag=0)
+    np.testing.assert_allclose(np.asarray(l_mean), np.asarray(f_mean),
+                               rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(l_cov), np.asarray(f_cov),
+                               rtol=1e-10)
+
+
+def test_negative_lag_propagates_filtered():
+    k = 2
+    f_mean, f_cov = lgssm.latent_var_distr(PARAMS, YS, lag=0)
+    p_mean, p_cov = lgssm.latent_var_distr(PARAMS, YS, lag=-k)
+    A, Q = np.asarray(PARAMS.A), np.asarray(PARAMS.Q)
+    mean_t = np.asarray(f_mean)[3]
+    cov_t = np.asarray(f_cov)[3]
+    for _ in range(k):
+        mean_t = A @ mean_t
+        cov_t = A @ cov_t @ A.T + Q
+    np.testing.assert_allclose(np.asarray(p_mean)[3 + k], mean_t, rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(p_cov)[3 + k], cov_t, rtol=1e-8)
+
+
+def test_y_distr_matches_projection():
+    x_mean, x_cov = lgssm.latent_var_distr(PARAMS, YS)
+    y_mean, y_cov = lgssm.y_distr(PARAMS, YS)
+    C, R = np.asarray(PARAMS.C), np.asarray(PARAMS.R)
+    np.testing.assert_allclose(np.asarray(y_mean),
+                               np.asarray(x_mean) @ C.T, rtol=1e-10)
+    np.testing.assert_allclose(
+        np.asarray(y_cov),
+        np.einsum('ij,tjk,lk->til', C, np.asarray(x_cov), C) + R,
+        rtol=1e-10)
+
+
+def test_y_sample_moments():
+    S = 4000
+    ys = np.asarray(lgssm.y_sample(PARAMS, jax.random.PRNGKey(3), YS,
+                                   num_samples=S))
+    assert ys.shape == (S, YS.shape[0], 1)
+    y_mean, y_cov = lgssm.y_distr(PARAMS, YS)
+    se = np.sqrt(np.asarray(y_cov)[:, 0, 0] / S)
+    z = (ys.mean(0)[:, 0] - np.asarray(y_mean)[:, 0]) / se
+    assert np.all(np.abs(z) < 5), z
+
+
+def test_simulate_distr_and_paths_agree():
+    T, S = 12, 4000
+    d = lgssm.simulate_distr(PARAMS, T)
+    p = lgssm.simulate_paths(PARAMS, jax.random.PRNGKey(4), T,
+                             num_samples=S)
+    xs = np.asarray(p["latent_vars"])            # [S, T+1, 1]
+    se = np.sqrt(np.asarray(d["latent_vars_cov"])[:, 0, 0] / S)
+    z = (xs.mean(0)[:, 0] - np.asarray(d["latent_vars_mean"])[:, 0]) / se
+    assert np.all(np.abs(z) < 5), z
+    v_ratio = xs.var(0)[:, 0] / np.asarray(d["latent_vars_cov"])[:, 0, 0]
+    assert np.all((v_ratio > 0.85) & (v_ratio < 1.15)), v_ratio
+
+
+def test_sampler_predict_dispatch():
+    s = LGSSMSampler(observations=YS, parameters=PARAMS, seed=1)
+    mean, cov = s.predict(target="latent", kind="marginal", lag=1)
+    assert mean.shape == (YS.shape[0], 1)
+    y_mean, y_cov = s.predict(target="y", kind="marginal")
+    assert y_cov.shape == (YS.shape[0], 1, 1)
+    draws = s.predict(target="y", kind="marginal", num_samples=3)
+    assert draws.shape == (3, YS.shape[0], 1)
+    sim = s.simulate(10, return_distr=True)
+    assert sim["obs_mean"].shape == (11, 1)
+    sim2 = s.simulate(10, num_samples=2)
+    assert sim2["observations"].shape == (2, 11, 1)
+
+
+def test_hmm_predict_probs():
+    from sgmcmc_tpu.models import gauss_hmm
+    prms = gauss_hmm.from_values(
+        pi=[[0.9, 0.1], [0.2, 0.8]], mu=[[-2.0], [2.0]],
+        R=[[[0.3]], [[0.3]]], dtype=jnp.float64)
+    ys, zs = gauss_hmm.generate_data(jax.random.PRNGKey(1), prms, 40)
+    s = GaussHMMSampler(observations=ys, num_states=2, m=1,
+                        parameters=prms, seed=0)
+    probs = s.predict(target="latent", kind="marginal")
+    assert probs.shape == (40, 2)
+    np.testing.assert_allclose(probs.sum(-1), 1.0, rtol=1e-8)
+    acc = max(np.mean(probs.argmax(-1) == np.asarray(zs)),
+              np.mean(1 - probs.argmax(-1) == np.asarray(zs)))
+    assert acc > 0.9
