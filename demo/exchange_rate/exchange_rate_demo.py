@@ -10,9 +10,17 @@ segments at >6h gaps, fit the SVM on one segment with
 
 then save parameter traces and the smoothed volatility path.
 
+`--mode subset|full` reproduces the multi-segment workflows
+(`exchange_rate_subset_demo.py` / `exchange_rate_full_demo.py`): a
+`SeqSVMSampler`/`SeqGARCHSampler` over the first 5 / all segments, SGLD
+with one random segment + subsequence per step (num_sequences=1) vs LD
+over every full segment (num_sequences=-1, S=-1).  The GBP variant
+(`exchange_rate_demo_gbp.py`) is `--data <EURGBP npz>`.
+
 Usage:
   python exchange_rate_demo.py [--data PATH.npz] [--model svm|garch]
-      [--max_time SECONDS] [--N PARTICLES] [--segment IDX] [--out DIR]
+      [--mode single|subset|full] [--N PARTICLES] [--segment IDX]
+      [--sgld_iters K] [--ld_iters K] [--out DIR]
 """
 import argparse
 import os
@@ -41,21 +49,36 @@ def load_segments(path: str, min_len: int = 7):
     return segments
 
 
-def fit_model(model_name, observations, method, num_iters, N, seed=12345):
+def fit_model(model_name, observations, method, num_iters, N, seed=12345,
+              seq: bool = False):
     """Whole-loop-compiled fit (fit_scan): per-step Python calls pay a
     ~100ms RPC round-trip on tunneled TPU backends, so the demo compiles
-    the entire chain into one XLA program."""
-    from sgmcmc_tpu.inference.samplers import GARCHSampler, SVMSampler
-    cls = SVMSampler if model_name == "svm" else GARCHSampler
-    sampler = cls(observations=observations, seed=seed)
+    the entire chain into one XLA program.
+
+    ``seq=True`` fits a multi-sequence sampler over a list of segments
+    (`SeqSVMSampler`; SGLD draws one segment per step, LD sums every full
+    segment — `exchange_rate_subset_demo.py:92-115`).
+    """
+    from sgmcmc_tpu.inference.samplers import (GARCHSampler, SeqGARCHSampler,
+                                               SeqSVMSampler, SVMSampler)
+    if seq:
+        cls = SeqSVMSampler if model_name == "svm" else SeqGARCHSampler
+        sampler = cls(observations, seed=seed)
+    else:
+        cls = SVMSampler if model_name == "svm" else GARCHSampler
+        sampler = cls(observations=observations, seed=seed)
     sampler.project_parameters()
     if method == "sgld":
         kwargs = dict(epsilon=0.001, subsequence_length=16, buffer_length=4,
                       pf="poyiadjis_N", N=N, resample_mode="auto",
                       resampler="systematic")
+        if seq:
+            kwargs["num_sequences"] = 1
     else:  # full-sequence Langevin dynamics
         kwargs = dict(epsilon=0.1, subsequence_length=-1, pf="paris", N=N,
                       resample_mode="auto")
+        if seq:
+            kwargs["num_sequences"] = -1
     trace = sampler.fit_scan("SGLD", num_iters=num_iters, **kwargs)
     from sgmcmc_tpu.io.checkpoint import unstack_trace
     import jax
@@ -68,6 +91,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--data", default=DEFAULT_DATA)
     ap.add_argument("--model", default="svm", choices=["svm", "garch"])
+    ap.add_argument("--mode", default="single",
+                    choices=["single", "subset", "full"])
     ap.add_argument("--sgld_iters", type=int, default=20000)
     ap.add_argument("--ld_iters", type=int, default=2000)
     ap.add_argument("--N", type=int, default=1000)
@@ -77,17 +102,24 @@ def main():
 
     from sgmcmc_tpu.io import checkpoint as ckpt
 
-    segments = load_segments(args.data)
-    print(f"{len(segments)} segments; using segment {args.segment} "
-          f"with {segments[args.segment].shape[0]} observations")
-    obs = segments[args.segment]
+    seq = args.mode != "single"
+    # multi-sequence modes need every segment to fit one S=16/B=4 window
+    segments = load_segments(args.data, min_len=25 if seq else 7)
+    if args.mode == "single":
+        print(f"{len(segments)} segments; using segment {args.segment} "
+              f"with {segments[args.segment].shape[0]} observations")
+        obs = segments[args.segment]
+    else:
+        obs = segments[:5] if args.mode == "subset" else segments
+        print(f"{args.mode}: {len(obs)} segments, "
+              f"{sum(s.shape[0] for s in obs)} total observations")
 
     results = {}
     for method in ["sgld", "ld"]:
         t0 = time.time()
         iters = args.sgld_iters if method == "sgld" else args.ld_iters
         sampler, params_list, times = fit_model(
-            args.model, obs, method, iters, args.N)
+            args.model, obs, method, iters, args.N, seq=seq)
         print(f"{method}: {len(params_list)} samples in "
               f"{time.time() - t0:.1f}s; final loglik "
               f"{sampler.noisy_loglikelihood(N=args.N, pf='filter'):.2f}")

@@ -597,13 +597,14 @@ class SeqSampler(Sampler):
         m = self.model
         cfg = self._score_config(**kwargs)
         kernel_name = kwargs.get("kernel")
+        num_sequences = kwargs.get("num_sequences", self.num_sequences)
         cache_key = ("seq_grad", cfg, kernel_name, preconditioned,
-                     is_scaled, self.num_sequences)
+                     is_scaled, num_sequences)
         if cache_key not in self._cache:
             score = sgmcmc.make_seq_pf_score_fn(
                 m.get_kernel(kernel_name), m.grad_statistic,
                 m.grad_statistic_dim, m.unpack_grad, cfg, self.lengths,
-                num_sequences=self.num_sequences,
+                num_sequences=num_sequences,
                 prior_mean_var_fn=m.prior_mean_var,
                 fused_model=m.get_fused(kernel_name) if m.get_fused
                 else None)

@@ -183,12 +183,15 @@ def make_seq_pf_score_fn(kernel: ParticleKernel, stat_fn: StatisticFn,
     n_seq = int(lengths.shape[0])
     T_total = float(jnp.sum(lengths))
     S = config.subsequence_length
-    if S == -1:
-        raise ValueError("Seq estimator needs a finite subsequence_length")
-    W = S + 2 * config.buffer_length
+    full = S == -1
     min_len = int(jnp.min(lengths))
-    if W > min_len:
-        raise ValueError(f"window {W} exceeds shortest sequence {min_len}")
+    if full:
+        W = None  # set per call from the packed T_max
+    else:
+        W = S + 2 * config.buffer_length
+        if W > min_len:
+            raise ValueError(f"window {W} exceeds shortest sequence "
+                             f"{min_len}")
     k_chosen = n_seq if num_sequences == -1 else num_sequences
     use_fused = _fused_eligible(config, fused_model)
     fused_interpret = use_fused and jax.default_backend() != "tpu"
@@ -198,16 +201,30 @@ def make_seq_pf_score_fn(kernel: ParticleKernel, stat_fn: StatisticFn,
     def one_sequence(key, params, obs_i, T_i):
         dtype = obs_i.dtype
         key_start, key_pf = jax.random.split(key)
-        u = jax.random.uniform(key_start, ())
-        start = jnp.floor(u * (T_i - S + 1)).astype(jnp.int32)
-        t = start + jnp.arange(S)
-        n_cov = jnp.minimum(jnp.minimum(t + 1, S),
-                            jnp.minimum(T_i - S + 1, T_i - t)).astype(dtype)
-        weights = (T_i - S + 1).astype(dtype) / n_cov
-        window_start = jnp.clip(start - config.buffer_length, 0, T_i - W)
-        t1 = start - window_start
-        window = jax.lax.dynamic_slice_in_dim(obs_i, window_start, W, axis=0)
-        step_w, in_win = window_weights(t1, t1 + S, weights, W, dtype)
+        if full:
+            # full-sequence (LD) estimator: the whole padded sequence is
+            # the window; steps past T_i carry zero weight (left-aligned,
+            # so they cannot influence any weighted statistic).
+            W_i = obs_i.shape[0]
+            window = obs_i
+            t = jnp.arange(W_i)
+            step_w = (t < T_i).astype(dtype)
+            in_win = step_w
+        else:
+            W_i = W
+            u = jax.random.uniform(key_start, ())
+            start = jnp.floor(u * (T_i - S + 1)).astype(jnp.int32)
+            t = start + jnp.arange(S)
+            n_cov = jnp.minimum(
+                jnp.minimum(t + 1, S),
+                jnp.minimum(T_i - S + 1, T_i - t)).astype(dtype)
+            weights = (T_i - S + 1).astype(dtype) / n_cov
+            window_start = jnp.clip(start - config.buffer_length, 0,
+                                    T_i - W_i)
+            t1 = start - window_start
+            window = jax.lax.dynamic_slice_in_dim(obs_i, window_start, W_i,
+                                                  axis=0)
+            step_w, in_win = window_weights(t1, t1 + S, weights, W_i, dtype)
         if prior_mean_var_fn is None:
             pm, pv = jnp.zeros((), dtype), jnp.asarray(10.0, dtype)
         else:

@@ -46,3 +46,46 @@ def test_seq_subsampling_sequences():
     g = s.noisy_gradient(N=32, subsequence_length=16, buffer_length=2)
     for leaf in jax.tree_util.tree_leaves(g):
         assert np.all(np.isfinite(np.asarray(leaf)))
+
+
+def test_seq_full_sequence_ld_matches_per_sequence_scores():
+    """S=-1 (LD over all sequences): the seq estimator's score must equal
+    the sum of independent full-window scores per sequence within
+    Monte-Carlo error (`SeqSGMCMCSampler` with subsequence_length=-1,
+    `sgmcmc_sampler.py:1157-1423`)."""
+    from sgmcmc_tpu.inference import sgmcmc
+    from sgmcmc_tpu.inference.samplers import pack_sequences
+
+    true, seqs = make_sequences(7)
+    packed, lengths = pack_sequences(seqs)
+    packed = jnp.asarray(packed)
+    cfg = sgmcmc.PFScoreConfig(n_particles=64, subsequence_length=-1,
+                               smoother="poyiadjis_N",
+                               resampler="systematic")
+    pmv = lambda p: (0.0, svm.stationary_variance(p))
+    seq_score = sgmcmc.make_seq_pf_score_fn(
+        svm.KERNEL, svm.grad_statistic, 3, svm.unpack_grad, cfg, lengths,
+        prior_mean_var_fn=pmv)
+    R = 40
+    f = jax.jit(lambda k: seq_score(k, true, packed)[0])
+    seq_g = np.stack([
+        np.asarray(f(jax.random.fold_in(jax.random.PRNGKey(0), i)).A)
+        for i in range(R)])[:, 0, 0]
+
+    # per-sequence full-window scores, summed
+    def per_seq(key):
+        tot = 0.0
+        for j, obs in enumerate(seqs):
+            T_j = obs.shape[0]
+            one = sgmcmc.make_pf_score_fn(
+                svm.KERNEL, svm.grad_statistic, 3, svm.unpack_grad, cfg,
+                T_j, prior_mean_var_fn=pmv)
+            g, _ = one(jax.random.fold_in(key, j), true, jnp.asarray(obs))
+            tot = tot + g.A[0, 0]
+        return float(tot)
+
+    ind_g = np.array([per_seq(jax.random.fold_in(jax.random.PRNGKey(1), i))
+                      for i in range(R)])
+    se = np.sqrt(seq_g.var() / R + ind_g.var() / R)
+    assert abs(seq_g.mean() - ind_g.mean()) < 5 * se + 1e-6, \
+        (seq_g.mean(), ind_g.mean(), se)
