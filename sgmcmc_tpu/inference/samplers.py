@@ -402,20 +402,40 @@ class Sampler:
 
     def fit_scan(self, iter_type: str, num_iters: int, epsilon: float = 0.1,
                  steps_per_iteration: int = 1, **kwargs):
-        """Whole-loop-compiled fit returning the full parameter trace."""
-        if iter_type != "SGLD":
-            raise NotImplementedError("fit_scan currently supports SGLD")
-        grad_fn = self._grad_fn(**kwargs)
+        """Whole-loop-compiled fit returning the full parameter trace
+        (SGLD / SGRLD / SGD; the stepwise `fit` covers ADAGRAD and
+        SGLD-CV, whose carried state doesn't fit the scan signature)."""
         m = self.model
         T = self.T
+        if iter_type == "SGLD":
+            grad_fn = self._grad_fn(**kwargs)
 
-        def step(key, params, obs):
-            new, ll = sgmcmc.sgld_step(key, params, obs, grad_fn, epsilon, T)
-            return new, ll
+            def step(key, params, obs):
+                return sgmcmc.sgld_step(key, params, obs, grad_fn, epsilon,
+                                        T)
+        elif iter_type == "SGRLD":
+            grad_fn = self._grad_fn(preconditioned=True, **kwargs)
+            precond = sgmcmc.Preconditioner(
+                m.precondition, m.precondition_noise, m.correction_term)
+
+            def step(key, params, obs):
+                return sgmcmc.sgrld_step(key, params, obs, grad_fn, precond,
+                                         epsilon, T)
+        elif iter_type == "SGD":
+            grad_fn = self._grad_fn(**kwargs)
+
+            def step(key, params, obs):
+                return sgmcmc.sgd_step(key, params, obs, grad_fn, epsilon)
+        else:
+            raise NotImplementedError(
+                f"fit_scan supports SGLD/SGRLD/SGD, not '{iter_type}'")
 
         cache_key = ("fit_scan", iter_type, float(epsilon), num_iters,
-                     steps_per_iteration)
-        if cache_key not in self._cache:
+                     steps_per_iteration,
+                     tuple(sorted(kwargs.items(), key=lambda kv: kv[0]))
+                     if all(isinstance(v, (int, float, str, bool, type(None)))
+                            for v in kwargs.values()) else None)
+        if cache_key not in self._cache or cache_key[-1] is None:
             self._cache[cache_key] = jax.jit(
                 lambda key, params, obs: sgmcmc.fit(
                     key, params, obs, step, num_iters,
@@ -649,7 +669,15 @@ class GibbsSamplerMixin:
 
     def get_iter_step(self, iter_type):
         if iter_type == "Gibbs":
-            return lambda *a, **k: self.sample_gibbs()
+            # reference iteration = ['sample_gibbs', 'project_parameters']
+            # (`get_iter_step`, `sgmcmc_sampler.py:896-947`) — without the
+            # projection the free C row makes the (C, Q, x-scale) direction
+            # non-identified and the chain wanders
+            def step(*a, **k):
+                self.sample_gibbs()
+                return self.project_parameters()
+
+            return step
         return super().get_iter_step(iter_type)
 
 

@@ -778,18 +778,38 @@ def _conjugate_mniw_sample(key, S_prevprev, S_curprev, S_curcur, count,
 
 
 def gibbs_parameters_sample(key, prior: LGSSMPrior, observations,
-                            latent_vars) -> LGSSMParams:
-    """theta | x, y — conjugate block updates for (Q, A) and (R, C)."""
+                            latent_vars,
+                            fix_C_eye: bool = True) -> LGSSMParams:
+    """theta | x, y — conjugate block updates for (Q, A) and (R, C).
+
+    With ``fix_C_eye`` (the reference's default identifiability constraint,
+    `lgssm/parameters.py:39-42`) Rinv is drawn conditional on C = I —
+    Wishart with the residual scatter of ``y - x`` — so the chain targets
+    exactly the fixed-C model posterior.  (The reference instead samples
+    the free-C MNIW block and *projects* C back to I, which leaves the
+    (C, Q, x-scale) direction non-identified inside each sweep; that free
+    variant is ``fix_C_eye=False``.)
+    """
     ss = gibbs_sufficient_statistics(observations, latent_vars)
     k1, k2 = jax.random.split(key)
     Qinv, A = _conjugate_mniw_sample(
         k1, ss['Sx_prevprev'], ss['Sx_curprev'], ss['Sx_curcur'],
         ss['x_count'], prior.mean_A, prior.var_col_A,
         prior.scale_Qinv, prior.df_Qinv)
-    Rinv, C = _conjugate_mniw_sample(
-        k2, ss['Sy_prevprev'], ss['Sy_curprev'], ss['Sy_curcur'],
-        ss['y_count'], prior.mean_C, prior.var_col_C,
-        prior.scale_Rinv, prior.df_Rinv)
+    if fix_C_eye:
+        C = jnp.eye(observations.shape[-1], latent_vars.shape[-1],
+                    dtype=prior.mean_C.dtype)
+        S_emit = (ss['Sy_curcur'] - C @ ss['Sy_curprev'].T
+                  - ss['Sy_curprev'] @ C.T + C @ ss['Sy_prevprev'] @ C.T)
+        df_post = prior.df_Rinv + ss['y_count']
+        scale_post = jnp.linalg.inv(jnp.linalg.inv(prior.scale_Rinv)
+                                    + S_emit)
+        Rinv = sample_wishart(k2, df_post, scale_post)
+    else:
+        Rinv, C = _conjugate_mniw_sample(
+            k2, ss['Sy_prevprev'], ss['Sy_curprev'], ss['Sy_curcur'],
+            ss['y_count'], prior.mean_C, prior.var_col_C,
+            prior.scale_Rinv, prior.df_Rinv)
     return LGSSMParams(A=A, C=C,
                        LQinv_vec=mat_to_tril_vector(jnp.linalg.cholesky(Qinv)),
                        LRinv_vec=mat_to_tril_vector(jnp.linalg.cholesky(Rinv)))
