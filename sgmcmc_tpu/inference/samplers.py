@@ -583,12 +583,12 @@ class Sampler:
 
 
 def pack_sequences(sequences):
-    """List of [T_i, m] arrays -> (padded [n_seq, T_max, m], lengths)."""
+    """List of [T_i, ...] arrays -> (padded [n_seq, T_max, ...], lengths)."""
     import numpy as np
     lengths = np.array([s.shape[0] for s in sequences], np.int32)
     T_max = int(lengths.max())
-    m = sequences[0].shape[1]
-    packed = np.zeros((len(sequences), T_max, m),
+    trail = tuple(np.asarray(sequences[0]).shape[1:])
+    packed = np.zeros((len(sequences), T_max) + trail,
                       dtype=np.asarray(sequences[0]).dtype)
     for i, s in enumerate(sequences):
         packed[i, :s.shape[0]] = np.asarray(s)
@@ -615,19 +615,32 @@ class SeqSampler(Sampler):
     def _grad_fn(self, preconditioned: bool = False, is_scaled: bool = True,
                  kind: str | None = None, **kwargs):
         m = self.model
+        if kind is None:
+            kind = self._default_kind()
         cfg = self._score_config(**kwargs)
         kernel_name = kwargs.get("kernel")
         num_sequences = kwargs.get("num_sequences", self.num_sequences)
-        cache_key = ("seq_grad", cfg, kernel_name, preconditioned,
+        cache_key = ("seq_grad", kind, cfg, kernel_name, preconditioned,
                      is_scaled, num_sequences)
         if cache_key not in self._cache:
-            score = sgmcmc.make_seq_pf_score_fn(
-                m.get_kernel(kernel_name), m.grad_statistic,
-                m.grad_statistic_dim, m.unpack_grad, cfg, self.lengths,
-                num_sequences=num_sequences,
-                prior_mean_var_fn=m.prior_mean_var,
-                fused_model=m.get_fused(kernel_name) if m.get_fused
-                else None)
+            if kind == "pf":
+                score = sgmcmc.make_seq_pf_score_fn(
+                    m.get_kernel(kernel_name), m.grad_statistic,
+                    m.grad_statistic_dim, m.unpack_grad, cfg, self.lengths,
+                    num_sequences=num_sequences,
+                    prior_mean_var_fn=m.prior_mean_var,
+                    fused_model=m.get_fused(kernel_name) if m.get_fused
+                    else None)
+            elif kind == "marginal":
+                if m.windowed_marginal_gradient is None:
+                    raise NotImplementedError(
+                        f"{m.name} has no analytic message passing")
+                score = sgmcmc.make_seq_marginal_score_fn(
+                    m.windowed_marginal_gradient, cfg, self.lengths,
+                    num_sequences=num_sequences)
+            else:
+                raise ValueError(
+                    f"Unrecognized kind = '{kind}' for SeqSampler")
             precond = None
             if preconditioned:
                 precond = sgmcmc.Preconditioner(
@@ -643,6 +656,23 @@ class SeqSampler(Sampler):
             self.next_key(), self.parameters, self.observations)
         return float(loglik)
 
+    def exact_loglikelihood(self) -> float:
+        """Sum of per-sequence exact marginal loglikelihoods
+        (`SeqSGMCMCSampler.exact_loglikelihood`,
+        `sgmcmc_sampler.py:1176-1192`)."""
+        m = self.model
+        if not m.has_exact:
+            raise NotImplementedError(
+                f"{m.name} has no exact marginal loglikelihood")
+        if "exact_ll" not in self._cache:
+            self._cache["exact_ll"] = jax.jit(m.marginal_loglikelihood)
+        fn = self._cache["exact_ll"]
+        total = 0.0
+        for i, T_i in enumerate(np.asarray(self.lengths)):
+            total += float(fn(self.parameters,
+                              self.observations[i, :int(T_i)]))
+        return total
+
 
 class SeqSVMSampler(SeqSampler):
     def __init__(self, observations, **kw):
@@ -652,6 +682,25 @@ class SeqSVMSampler(SeqSampler):
 class SeqGARCHSampler(SeqSampler):
     def __init__(self, observations, **kw):
         super().__init__("garch", observations, **kw)
+
+
+class SeqLGSSMSampler(SeqSampler):
+    def __init__(self, observations, **kw):
+        super().__init__("lgssm", observations, **kw)
+
+
+class SeqGaussHMMSampler(SeqSampler):
+    def __init__(self, observations, num_states=2, m=1, **kw):
+        from ..models.registry import get_model
+        super().__init__(get_model("gauss_hmm", num_states=num_states,
+                                   m=m), observations, **kw)
+
+
+class SeqARPHMMSampler(SeqSampler):
+    def __init__(self, observations, num_states=2, m=1, p=1, **kw):
+        from ..models.registry import get_model
+        super().__init__(get_model("arphmm", num_states=num_states, m=m,
+                                   p=p), observations, **kw)
 
 
 class GibbsSamplerMixin:
@@ -753,21 +802,22 @@ class SLDSSampler:
         return out if output_all else self.parameters
 
 
-class GaussHMMSampler(GibbsSamplerMixin, Sampler):
-    def __init__(self, observations=None, num_states=2, m=1, **kw):
-        from ..models.registry import get_model
-        super().__init__(get_model("gauss_hmm", num_states=num_states, m=m),
-                         observations, **kw)
+class SCIRSamplerMixin:
+    """SGLD with the Stochastic Cox-Ingersoll-Ross exact Gamma-process
+    update on the transition simplex (Baker et al. 2018;
+    `CIRSamplerMixin.sample_sgld`, `hmm_helper.py:489-524`): the pi
+    slot carries the *unscaled* Dirichlet sufficient statistic
+    (summed pairwise posteriors + prior alpha) and is resampled by
+    SCIR; all other variables take the standard Langevin update.
+
+    Generic over any model whose parameters store a `logit_pi` slot and
+    whose `windowed_marginal_gradient`/`grad_logprior` accept
+    ``use_scir`` (GaussHMM and ARPHMM, like the reference mixin).
+    """
 
     def sample_sgld_scir(self, epsilon, **kwargs):
-        """SGLD with the Stochastic Cox-Ingersoll-Ross exact Gamma-process
-        update on the transition simplex (Baker et al. 2018;
-        `CIRSamplerMixin.sample_sgld`, `hmm_helper.py:489-524`): the pi
-        slot carries the *unscaled* Dirichlet sufficient statistic
-        (summed pairwise posteriors + prior alpha) and is resampled by
-        SCIR; all other variables take the standard Langevin update.
-        """
-        from ..models import gauss_hmm as ghmm
+        from ..ops import hmm as hmm_ops
+        m = self.model
         cfg = self._score_config(**kwargs)
         T = self.T
         cache_key = ("sgld_scir", cfg, float(epsilon))
@@ -777,7 +827,7 @@ class GaussHMMSampler(GibbsSamplerMixin, Sampler):
             B = 0 if full else max(cfg.buffer_length, 0)
             S_eff = T if full else S
             score = sgmcmc.make_marginal_score_fn(
-                lambda p, w, v, wt: ghmm.windowed_marginal_gradient(
+                lambda p, w, v, wt: m.windowed_marginal_gradient(
                     p, w, v, wt, B, S_eff, use_scir=True), cfg, T)
             prior = self.prior
 
@@ -785,18 +835,20 @@ class GaussHMMSampler(GibbsSamplerMixin, Sampler):
                 k_grad, k_scir, k_noise = jax.random.split(key, 3)
                 grad_ll, ll = score(k_grad, params, obs)
                 grad = sgmcmc.tree_add(
-                    grad_ll, ghmm.grad_logprior(prior, params,
-                                                use_scir=True))
+                    grad_ll, m.grad_logprior(prior, params, use_scir=True))
                 a = grad.logit_pi          # unscaled Dirichlet suff stats
-                new_logit = ghmm.scir_transition_update(k_scir, params, a,
-                                                        epsilon)
+                theta = jnp.exp(params.logit_pi)
+                theta_new = hmm_ops.scir_update(k_scir, theta, a, epsilon)
+                new_logit = jnp.log(jnp.abs(theta_new) + 1e-99)
+                new_logit = new_logit - jnp.mean(new_logit, axis=1,
+                                                 keepdims=True)
                 scale = 1.0 / T
                 noise = sgmcmc.tree_random_normal(k_noise, params, scale)
                 upd = jax.tree_util.tree_map(
                     lambda p, g, n: p + epsilon * g * scale
                     + jnp.sqrt(2.0 * epsilon) * n, params, grad, noise)
                 new = upd.replace(logit_pi=new_logit)
-                return ghmm.project_parameters(new, center_logit=False), ll
+                return m.project_parameters(new, center_logit=False), ll
 
             self._cache[cache_key] = jax.jit(step)
         self.parameters, _ = self._cache[cache_key](
@@ -804,7 +856,14 @@ class GaussHMMSampler(GibbsSamplerMixin, Sampler):
         return self.parameters
 
 
-class ARPHMMSampler(Sampler):
+class GaussHMMSampler(GibbsSamplerMixin, SCIRSamplerMixin, Sampler):
+    def __init__(self, observations=None, num_states=2, m=1, **kw):
+        from ..models.registry import get_model
+        super().__init__(get_model("gauss_hmm", num_states=num_states, m=m),
+                         observations, **kw)
+
+
+class ARPHMMSampler(GibbsSamplerMixin, SCIRSamplerMixin, Sampler):
     def __init__(self, observations=None, num_states=2, m=1, p=1, **kw):
         from ..models.registry import get_model
         super().__init__(get_model("arphmm", num_states=num_states, m=m,

@@ -14,6 +14,7 @@ from typing import Any, Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..models.base import ParticleKernel, StatisticFn
 from ..ops.buffered import run_buffered_pf, window_weights
@@ -258,6 +259,91 @@ def make_seq_pf_score_fn(kernel: ParticleKernel, stat_fn: StatisticFn,
         scale = T_total / jnp.sum(lengths[idx]).astype(stats.dtype)
         stat = jnp.sum(stats, axis=0) * scale
         return unpack(stat), jnp.sum(logliks) * scale
+
+    return score_fn
+
+
+def make_seq_marginal_score_fn(windowed_gradient_fn, config: PFScoreConfig,
+                               lengths, num_sequences: int = -1):
+    """Multi-sequence buffered *exact-message* score (kind='marginal'
+    under `SeqSGMCMCSampler`, `sgmcmc_sampler.py:1259-1283`).
+
+    Sequences are packed [n_seq, T_max, ...] with true ``lengths``.  With a
+    finite subsequence length each chosen sequence contributes one
+    buffered [B | S | B] window (buffers clipped at that sequence's edges
+    via the validity mask, unbiasedness weights from that sequence's own
+    T_i); with ``subsequence_length == -1`` every sequence's *full* exact
+    gradient is computed on its statically-sliced prefix (the reference's
+    per-sequence Python loop, here unrolled inside one jitted program) and
+    chosen sequences are selected by a permutation mask.  Either way the
+    sum is rescaled by T_total / sum(T_chosen).
+
+    ``windowed_gradient_fn(params, window, valid, weights, B, S)`` is the
+    model's windowed marginal gradient (note: B and S passed explicitly
+    here because the full path needs per-sequence S).
+    """
+    lengths_np = np.asarray(lengths)
+    lengths = jnp.asarray(lengths, jnp.int32)
+    n_seq = int(lengths_np.shape[0])
+    T_total = float(lengths_np.sum())
+    S = config.subsequence_length
+    B = max(config.buffer_length, 0)
+    full = S == -1
+    k_chosen = n_seq if num_sequences == -1 else num_sequences
+    if not full:
+        if S > int(lengths_np.min()):
+            raise ValueError(f"subsequence {S} exceeds shortest sequence "
+                             f"{int(lengths_np.min())}")
+        W = S + 2 * B
+
+    def one_sequence(key, params, obs_i, T_i):
+        dtype = obs_i.dtype
+        key_start, _ = jax.random.split(key)
+        u = jax.random.uniform(key_start, ())
+        start = jnp.floor(u * (T_i - S + 1)).astype(jnp.int32)
+        t = start + jnp.arange(S)
+        n_cov = jnp.minimum(
+            jnp.minimum(t + 1, S),
+            jnp.minimum(T_i - S + 1, T_i - t)).astype(dtype)
+        weights = (T_i - S + 1).astype(dtype) / n_cov
+        idx = start - B + jnp.arange(W)
+        valid = ((idx >= 0) & (idx < T_i)).astype(dtype)
+        window = jnp.take(obs_i, jnp.clip(idx, 0, obs_i.shape[0] - 1),
+                          axis=0)
+        return windowed_gradient_fn(params, window, valid, weights, B, S)
+
+    def score_fn(key, params, observations):
+        key_seq, key_g = jax.random.split(key)
+        dtype = observations.dtype
+        if num_sequences == -1:
+            idx = jnp.arange(n_seq)
+        else:
+            idx = jax.random.permutation(key_seq, n_seq)[:k_chosen]
+        chosen = jnp.zeros((n_seq,)).at[idx].set(1.0).astype(dtype)
+        if full:
+            grads, logliks = [], []
+            for i in range(n_seq):          # static unroll; slices exact
+                T_i = int(lengths_np[i])
+                seq = observations[i, :T_i]
+                ones = jnp.ones((T_i,), dtype)
+                g, ll = windowed_gradient_fn(params, seq, ones, ones,
+                                             0, T_i)
+                grads.append(jax.tree_util.tree_map(
+                    lambda x: x * chosen[i], g))
+                logliks.append(ll * chosen[i])
+            grad = tree_add(*grads)
+            loglik = jnp.sum(jnp.stack(logliks))
+        else:
+            keys = jax.random.split(key_g, k_chosen)
+            grads, logliks = jax.vmap(
+                lambda k, i: one_sequence(k, params, observations[i],
+                                          lengths[i]))(keys, idx)
+            grad = jax.tree_util.tree_map(lambda g: jnp.sum(g, axis=0),
+                                          grads)
+            loglik = jnp.sum(logliks)
+        scale = T_total / jnp.sum(chosen * lengths.astype(dtype))
+        return jax.tree_util.tree_map(lambda g: g * scale, grad), \
+            loglik * scale
 
     return score_fn
 

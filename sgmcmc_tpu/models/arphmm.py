@@ -347,6 +347,79 @@ def correction_term(params: ARPHMMParams) -> ARPHMMParams:
 
 
 # --------------------------------------------------------------------------
+# Blocked Gibbs (`arphmm/sampler.py:216-231`, suff stats
+# `arphmm/helper.py:172-228`, conjugate draws `variables/matrices.py:1199`
+# + `variables/covariance.py:207` + `variables/probweight.py:392`)
+# --------------------------------------------------------------------------
+
+def gibbs_parameters_sample(key, prior: ARPHMMPrior, observations, z
+                            ) -> ARPHMMParams:
+    """theta | z, y: Dirichlet posterior on pi rows and per-state
+    matrix-normal-Wishart posterior on (D_k, Rinv_k).
+
+    One-hot einsum contractions replace the reference's per-state boolean
+    indexing (`calc_gibbs_sufficient_statistic`, `arphmm/helper.py:172`),
+    so the whole update is one fixed-shape jitted program.
+    """
+    K, m, d = prior.mean_D.shape
+    dtype = observations.dtype
+    kp, kr, kd = jax.random.split(key, 3)
+
+    # transition counts -> Dirichlet rows
+    zo = jax.nn.one_hot(z, K, dtype=dtype)                   # [T, K]
+    counts = jnp.einsum('ti,tj->ij', zo[:-1], zo[1:])
+    g = jax.random.gamma(kp, prior.alpha_pi + counts, dtype=dtype)
+    pi = g / jnp.sum(g, axis=-1, keepdims=True)
+
+    # per-state regression sufficient statistics
+    y0 = observations[:, 0, :]                               # [T, m]
+    y_prev = observations[:, 1:, :].reshape(observations.shape[0], -1)
+    n_k = jnp.sum(zo, axis=0)                                # [K]
+    prec0 = 1.0 / prior.var_col_D                            # [K, d]
+    Spp = (jnp.einsum('tk,td,te->kde', zo, y_prev, y_prev)
+           + jax.vmap(jnp.diag)(prec0))                      # [K, d, d]
+    Scp = (jnp.einsum('tk,tm,td->kmd', zo, y0, y_prev)
+           + prior.mean_D * prec0[:, None, :])               # [K, m, d]
+    Scc = (jnp.einsum('tk,tm,tn->kmn', zo, y0, y0)
+           + jnp.einsum('kmd,kd,knd->kmn', prior.mean_D, prec0,
+                        prior.mean_D))                       # [K, m, m]
+
+    Lpp = jnp.linalg.cholesky(Spp)                           # [K, d, d]
+    # D_post = Scp Spp^-1 via two triangular solves
+    def _post_mean(Lpp_k, Scp_k):
+        w = jax.scipy.linalg.solve_triangular(Lpp_k, Scp_k.T, lower=True)
+        return jax.scipy.linalg.solve_triangular(Lpp_k.T, w, lower=False).T
+
+    D_post = jax.vmap(_post_mean)(Lpp, Scp)                  # [K, m, d]
+    Schur = Scc - jnp.einsum('kmd,knd->kmn', D_post, Scp)
+    Schur = 0.5 * (Schur + jnp.swapaxes(Schur, -1, -2))
+
+    df_post = prior.df_Rinv + n_k
+    scale_post = jnp.linalg.inv(jnp.linalg.inv(prior.scale_Rinv) + Schur)
+    Rinv = jax.vmap(sample_wishart)(jax.random.split(kr, K), df_post,
+                                    scale_post)              # [K, m, m]
+    LRinv = jnp.linalg.cholesky(Rinv)
+
+    # D | R ~ MN(D_post, row cov R, col cov Spp^-1)
+    zD = jax.random.normal(kd, (K, m, d), dtype)
+
+    def _mn_noise(LRinv_k, Lpp_k, z_k):
+        a = jax.scipy.linalg.solve_triangular(LRinv_k.T, z_k, lower=False)
+        return jax.scipy.linalg.solve_triangular(
+            Lpp_k.T, a.T, lower=False).T
+
+    D = D_post + jax.vmap(_mn_noise)(LRinv, Lpp, zD)
+    return ARPHMMParams(logit_pi=jnp.log(pi + 1e-99), D=D,
+                        LRinv_vec=jax.vmap(mat_to_tril_vector)(LRinv))
+
+
+def gibbs_step(key, prior, params, observations):
+    kz, kp = jax.random.split(key)
+    z = latent_var_sample(params, kz, observations)
+    return gibbs_parameters_sample(kp, prior, observations, z)
+
+
+# --------------------------------------------------------------------------
 # Data generation
 # --------------------------------------------------------------------------
 

@@ -183,6 +183,7 @@ def _arphmm_api(num_states: int = 2, m: int = 1, p: int = 1) -> ModelAPI:
         gradient_marginal_loglikelihood=
         arphmm_mod.gradient_marginal_loglikelihood,
         windowed_marginal_gradient=arphmm_mod.windowed_marginal_gradient,
+        gibbs_step=arphmm_mod.gibbs_step,
         latent_var_sample=arphmm_mod.latent_var_sample,
         latent_var_distr=arphmm_mod.latent_var_distr,
         precondition=arphmm_mod.precondition,

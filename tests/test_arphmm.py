@@ -74,3 +74,50 @@ def test_projection_and_preconditioner_shapes():
         for a, b in zip(jax.tree_util.tree_leaves(tree),
                         jax.tree_util.tree_leaves(params)):
             assert a.shape == b.shape
+
+
+def test_gibbs_recovers_ar_coefficients():
+    """Conjugate blocked Gibbs (z-FFBS + MNIW draw) concentrates around
+    the generating AR coefficients (`arphmm/sampler.py:216-231`)."""
+    params = make_params(K=2, m=1, p=1, seed=6)
+    ys, _ = arphmm.generate_data(jax.random.PRNGKey(7), params, 800)
+    prior = arphmm.default_prior(2, 1, 1, var=10.0)
+    p = arphmm.sample_prior(prior, jax.random.PRNGKey(8))
+    step = jax.jit(arphmm.gibbs_step)
+    Ds = []
+    for i in range(60):
+        p = step(jax.random.PRNGKey(100 + i), prior, p, ys)
+        if i >= 20:
+            Ds.append(np.sort(np.asarray(p.D).ravel()))
+    est = np.mean(Ds, axis=0)
+    np.testing.assert_allclose(est, np.sort(np.asarray(params.D).ravel()),
+                               atol=0.25)
+
+
+def test_gibbs_posterior_matches_conjugate_formula_single_state():
+    """With K=1 the (D, Rinv) posterior is standard Bayesian linear
+    regression: check the Gibbs draws' moments against the closed form."""
+    params = make_params(K=1, m=1, p=1, seed=9)
+    ys, _ = arphmm.generate_data(jax.random.PRNGKey(10), params, 400)
+    prior = arphmm.default_prior(1, 1, 1, var=100.0)
+    z = np.zeros(400, dtype=np.int32)
+    y0 = np.asarray(ys[:, 0, 0])
+    yp = np.asarray(ys[:, 1, 0])
+    # closed-form posterior mean of D (ridge with precision 1/var)
+    spp = np.dot(yp, yp) + 1.0 / 100.0
+    d_post = np.dot(y0, yp) / spp
+    draws = [float(arphmm.gibbs_parameters_sample(
+        jax.random.PRNGKey(200 + i), prior, ys, jnp.asarray(z)).D[0, 0, 0])
+        for i in range(200)]
+    assert abs(np.mean(draws) - d_post) < 0.02
+
+
+def test_sampler_gibbs_and_scir_run():
+    from sgmcmc_tpu.inference.samplers import ARPHMMSampler
+    params = make_params(K=2, m=1, p=1, seed=11)
+    ys, _ = arphmm.generate_data(jax.random.PRNGKey(12), params, 120)
+    s = ARPHMMSampler(observations=ys, num_states=2, m=1, p=1, seed=3)
+    s.sample_gibbs()
+    s.sample_sgld_scir(epsilon=0.05, subsequence_length=32, buffer_length=4)
+    for leaf in jax.tree_util.tree_leaves(s.parameters):
+        assert np.all(np.isfinite(np.asarray(leaf)))

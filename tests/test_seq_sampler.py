@@ -89,3 +89,114 @@ def test_seq_full_sequence_ld_matches_per_sequence_scores():
     se = np.sqrt(seq_g.var() / R + ind_g.var() / R)
     assert abs(seq_g.mean() - ind_g.mean()) < 5 * se + 1e-6, \
         (seq_g.mean(), ind_g.mean(), se)
+
+
+def test_seq_marginal_full_matches_sum_of_exact_gradients():
+    """kind='marginal', S=-1: the seq score equals the sum of exact
+    per-sequence Kalman gradients exactly (no MC noise)."""
+    from sgmcmc_tpu.inference import sgmcmc
+    from sgmcmc_tpu.inference.samplers import pack_sequences
+    from sgmcmc_tpu.models import lgssm
+
+    true = lgssm.from_matrices(A=0.8, C=1.0, Q=0.5, R=1.0)
+    key = jax.random.PRNGKey(11)
+    seqs = [np.asarray(lgssm.generate_data(jax.random.fold_in(key, i),
+                                           true, T)[0])
+            for i, T in enumerate([40, 60, 50])]
+    packed, lengths = pack_sequences(seqs)
+    cfg = sgmcmc.PFScoreConfig(n_particles=1, subsequence_length=-1)
+    score = sgmcmc.make_seq_marginal_score_fn(
+        lgssm.windowed_marginal_gradient, cfg, lengths)
+    g, ll = jax.jit(score)(jax.random.PRNGKey(0), true, jnp.asarray(packed))
+
+    exact = None
+    ll_exact = 0.0
+    for obs in seqs:
+        gi = lgssm.gradient_marginal_loglikelihood(true, jnp.asarray(obs))
+        ll_exact += float(lgssm.marginal_loglikelihood(true,
+                                                       jnp.asarray(obs)))
+        exact = gi if exact is None else jax.tree_util.tree_map(
+            jnp.add, exact, gi)
+    for name in ["A", "C", "LQinv_vec", "LRinv_vec"]:
+        np.testing.assert_allclose(np.asarray(getattr(g, name)),
+                                   np.asarray(getattr(exact, name)),
+                                   rtol=1e-8, err_msg=name)
+    np.testing.assert_allclose(float(ll), ll_exact, rtol=1e-8)
+
+
+def test_seq_marginal_subsequence_unbiased():
+    """kind='marginal' with finite S: the buffered seq estimator is
+    unbiased for the summed exact gradient as the buffer covers the
+    sequences (B large => bias ~ 0; average over start draws)."""
+    from sgmcmc_tpu.inference import sgmcmc
+    from sgmcmc_tpu.inference.samplers import pack_sequences
+    from sgmcmc_tpu.models import lgssm
+
+    true = lgssm.from_matrices(A=0.7, C=1.0, Q=0.4, R=0.8)
+    key = jax.random.PRNGKey(13)
+    seqs = [np.asarray(lgssm.generate_data(jax.random.fold_in(key, i),
+                                           true, T)[0])
+            for i, T in enumerate([48, 64])]
+    packed, lengths = pack_sequences(seqs)
+    cfg = sgmcmc.PFScoreConfig(n_particles=1, subsequence_length=16,
+                               buffer_length=16)
+    score = jax.jit(sgmcmc.make_seq_marginal_score_fn(
+        lgssm.windowed_marginal_gradient, cfg, lengths))
+    packed = jnp.asarray(packed)
+    R = 400
+    gs = [score(jax.random.fold_in(jax.random.PRNGKey(1), i), true,
+                packed)[0].A for i in range(R)]
+    est = np.mean(np.stack([np.asarray(g) for g in gs])[:, 0, 0])
+    exact = sum(float(lgssm.gradient_marginal_loglikelihood(
+        true, jnp.asarray(o)).A[0, 0]) for o in seqs)
+    se = np.std([float(np.asarray(g)[0, 0]) for g in gs]) / np.sqrt(R)
+    assert abs(est - exact) < 4 * se + 0.05, (est, exact, se)
+
+
+def test_seq_hmm_and_arphmm_samplers_run():
+    from sgmcmc_tpu.inference.samplers import (SeqARPHMMSampler,
+                                               SeqGaussHMMSampler,
+                                               SeqLGSSMSampler)
+    from sgmcmc_tpu.models import arphmm, gauss_hmm, lgssm
+
+    # GaussHMM
+    p_h = gauss_hmm.from_values(
+        pi=np.array([[0.9, 0.1], [0.2, 0.8]]),
+        mu=np.array([[-1.0], [1.0]]),
+        R=np.array([[[0.3]], [[0.3]]]))
+    key = jax.random.PRNGKey(21)
+    seqs_h = [np.asarray(gauss_hmm.generate_data(
+        jax.random.fold_in(key, i), p_h, T)[0]) for i, T in
+        enumerate([60, 80])]
+    s = SeqGaussHMMSampler(seqs_h, num_states=2, m=1, seed=5)
+    s.sample_sgld(epsilon=0.05, subsequence_length=16, buffer_length=4)
+    s.project_parameters()
+    assert np.isfinite(s.exact_loglikelihood())
+
+    # ARPHMM (3-D lag-stacked sequences exercise pack_sequences)
+    rng = np.random.default_rng(0)
+    p_a = arphmm.from_values(
+        pi=np.array([[0.9, 0.1], [0.2, 0.8]]),
+        D=0.4 * rng.normal(size=(2, 1, 1)),
+        R=np.stack([np.eye(1) * 0.4, np.eye(1) * 0.6]))
+    seqs_a = [np.asarray(arphmm.generate_data(
+        jax.random.fold_in(key, 10 + i), p_a, T)[0]) for i, T in
+        enumerate([50, 70])]
+    s = SeqARPHMMSampler(seqs_a, num_states=2, m=1, p=1, seed=6)
+    s.sample_sgld(epsilon=0.05, subsequence_length=16, buffer_length=4)
+    s.project_parameters()
+    assert np.isfinite(s.exact_loglikelihood())
+
+    # LGSSM seq sampler: marginal is the default kind only for non-PF
+    # models; LGSSM has a PF, so ask for kind='marginal' explicitly.
+    p_l = lgssm.from_matrices(A=0.8, C=1.0, Q=0.5, R=1.0)
+    seqs_l = [np.asarray(lgssm.generate_data(
+        jax.random.fold_in(key, 20 + i), p_l, T)[0]) for i, T in
+        enumerate([40, 56])]
+    s = SeqLGSSMSampler(seqs_l, seed=7)
+    s.sample_sgld(epsilon=0.05, kind="marginal", subsequence_length=16,
+                  buffer_length=4)
+    s.sample_sgld(epsilon=0.05, kind="pf", N=32, subsequence_length=16,
+                  buffer_length=4)
+    s.project_parameters()
+    assert np.isfinite(s.exact_loglikelihood())
