@@ -770,6 +770,7 @@ class SLDSSampler:
         self.x = jnp.zeros((T, n), self.observations.dtype)
         self._gibbs = jax.jit(slds_mod.gibbs_step)
         self._project = jax.jit(slds_mod.project_parameters)
+        self._cache: dict[Any, Any] = {}
 
     def next_key(self):
         self._key, sub = jax.random.split(self._key)
@@ -800,6 +801,120 @@ class SLDSSampler:
             if output_all:
                 out.append(self.parameters)
         return out if output_all else self.parameters
+
+    # -- SG-MCMC via buffered complete-data gradients ---------------------
+    def _score_fn(self, S: int, B: int, latent_draws: int,
+                  latent_burnin: int, latent_thinning: int):
+        """score(key, params, obs) -> (grad_tree, weighted loglik): sample
+        a buffered window, run blocked latent Gibbs (x | z, z | x) on it,
+        and average the weighted complete-data score over latent draws
+        (`SLDSSampler.noisy_gradient` kind='complete',
+        `slds/sampler.py:491-660`; the reference's accumulation of
+        `noisy_grad_add` is broken — this implements the documented
+        semantics)."""
+        from ..ops.buffered import window_weights
+        from ..ops.subsequence import sample_buffered_window
+        mod = self._mod
+        T = self.observations.shape[0]
+        full = (S == -1) or (S >= T)
+        W = T if full else S + 2 * B
+
+        def sweep(params, window, carry, k):
+            x, z = carry
+            kx, kz = jax.random.split(k)
+            x = mod.x_latent_var_sample(params, kx, window, z)
+            z = mod.z_latent_var_sample(params, kz, window, x)
+            return (x, z)
+
+        def score(key, params, obs):
+            dtype = obs.dtype
+            k_win, k_init, k_burn, k_draw = jax.random.split(key, 4)
+            if full:
+                window = obs
+                step_w = jnp.ones((T,), dtype)
+            else:
+                win = sample_buffered_window(k_win, S, B, T, "uniform",
+                                             dtype)
+                window = jax.lax.dynamic_slice_in_dim(
+                    obs, win.window_start, W, axis=0)
+                step_w, _ = window_weights(win.t1, win.tL, win.weights, W,
+                                           dtype)
+            K = params.num_states
+            z = jax.random.randint(k_init, (W,), 0, K, dtype=jnp.int32)
+            x = mod.x_latent_var_sample(params, jax.random.fold_in(
+                k_init, 1), window, z)
+
+            def burn_body(carry, k):
+                return sweep(params, window, carry, k), None
+
+            if latent_burnin > 0:
+                (x, z), _ = jax.lax.scan(
+                    burn_body, (x, z), jax.random.split(k_burn,
+                                                        latent_burnin))
+
+            def draw_body(carry, k):
+                def thin_body(c, kk):
+                    return sweep(params, window, c, kk), None
+
+                if latent_thinning > 0:
+                    carry, _ = jax.lax.scan(
+                        thin_body, carry,
+                        jax.random.split(k, latent_thinning))
+                g, ll = mod.windowed_complete_gradient(
+                    params, window, carry[0], carry[1], step_w)
+                return carry, (g, ll)
+
+            _, (grads, lls) = jax.lax.scan(
+                draw_body, (x, z), jax.random.split(k_draw, latent_draws))
+            grad = jax.tree_util.tree_map(lambda g: jnp.mean(g, axis=0),
+                                          grads)
+            return grad, jnp.mean(lls)
+
+        return score
+
+    def _grad_fn(self, is_scaled: bool = True, **kwargs):
+        S = kwargs.get("subsequence_length", -1)
+        B = max(kwargs.get("buffer_length", 0), 0)
+        latent_draws = kwargs.get("latent_draws", 1)
+        latent_burnin = kwargs.get("latent_burnin", 5)
+        latent_thinning = kwargs.get("latent_thinning", 5)
+        cache_key = ("grad", S, B, latent_draws, latent_burnin,
+                     latent_thinning, is_scaled)
+        if cache_key not in self._cache:
+            T = self.observations.shape[0]
+            score = self._score_fn(S, B, latent_draws, latent_burnin,
+                                   latent_thinning)
+            fn = sgmcmc.make_noisy_grad_fn(
+                score, lambda p: self._mod.grad_logprior(self.prior, p), T,
+                is_scaled=is_scaled)
+            self._cache[cache_key] = jax.jit(fn)
+        return self._cache[cache_key]
+
+    def noisy_gradient(self, is_scaled: bool = True, **kwargs):
+        grad, _ = self._grad_fn(is_scaled=is_scaled, **kwargs)(
+            self.next_key(), self.parameters, self.observations)
+        return grad
+
+    def noisy_loglikelihood(self, **kwargs) -> float:
+        _, ll = self._grad_fn(**kwargs)(
+            self.next_key(), self.parameters, self.observations)
+        return float(ll)
+
+    def sample_sgld(self, epsilon, **kwargs):
+        grad_fn = self._grad_fn(**kwargs)
+        T = self.observations.shape[0]
+        cache_key = ("sgld",) + tuple(sorted(kwargs.items())) \
+            + (float(epsilon),)
+        if cache_key not in self._cache:
+            def step(key, params, obs):
+                new, ll = sgmcmc.sgld_step(key, params, obs, grad_fn,
+                                           epsilon, T)
+                return self._mod.project_parameters(new), ll
+
+            self._cache[cache_key] = jax.jit(step)
+        self.parameters, _ = self._cache[cache_key](
+            self.next_key(), self.parameters, self.observations)
+        return self.parameters
 
 
 class SCIRSamplerMixin:

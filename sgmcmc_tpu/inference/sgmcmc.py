@@ -77,6 +77,9 @@ class PFScoreConfig:
     # (hardware PRNG; saves the [W, D*s, B]-per-chain HBM stream).  Only
     # affects the fused path; 'host' keeps key-deterministic draws.
     rng: str = "host"
+    # Fused-kernel resampling dot width: merge this many of the s=8 inner
+    # one-hot dots into one wider MXU dot (weight-stationary W1 reuse).
+    qp_merge: int = 1
 
 
 def _fused_eligible(config: PFScoreConfig, fused_model) -> bool:
@@ -142,7 +145,8 @@ def make_pf_score_fn(kernel: ParticleKernel, stat_fn: StatisticFn,
                 fused_model, key_pf, params, window, step_w,
                 config.n_particles, prior_mean, prior_var,
                 lambduh=fused_lambduh, interpret=fused_interpret,
-                ess_threshold=config.ess_threshold, rng=config.rng)
+                ess_threshold=config.ess_threshold, rng=config.rng,
+                qp_merge=config.qp_merge)
         out = run_buffered_pf(
             kernel, stat_fn, params, window,
             key=key_pf, n_particles=config.n_particles,
@@ -236,7 +240,8 @@ def make_seq_pf_score_fn(kernel: ParticleKernel, stat_fn: StatisticFn,
                 fused_model, key_pf, params, window, step_w,
                 config.n_particles, pm, pv, lambduh=fused_lambduh,
                 interpret=fused_interpret,
-                ess_threshold=config.ess_threshold, rng=config.rng)
+                ess_threshold=config.ess_threshold, rng=config.rng,
+                qp_merge=config.qp_merge)
         out = run_buffered_pf(
             kernel, stat_fn, params, window, key=key_pf,
             n_particles=config.n_particles, statistic_dim=statistic_dim,

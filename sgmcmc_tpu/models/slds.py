@@ -21,7 +21,7 @@ import numpy as np
 from flax import struct
 
 from ..ops import hmm
-from ..utils.distributions import sample_wishart
+from ..utils.distributions import sample_wishart, wishart_logpdf
 from ..utils.linalg import (mat_to_tril_vector, pos_def_mat_inv,
                             tril_vector_to_mat)
 
@@ -315,6 +315,88 @@ def default_prior(num_states: int, n: int = 1, m: int = 1,
         scale_Rinv=np.eye(m, dtype=npdtype) / df_r,
         df_Rinv=np.asarray(df_r, npdtype),
     )
+
+
+def logprior(prior: SLDSPrior, params: SLDSParams) -> jax.Array:
+    """log p(theta): Dirichlet rows on pi, per-state matrix-normal-Wishart
+    on (A_k, Qinv_k), matrix-normal-Wishart on (C, Rinv)
+    (`slds/parameters.py` prior structure via `variables/*.py` helpers)."""
+    K, n, _ = prior.mean_A.shape
+    m = prior.mean_C.shape[0]
+    pi = params.pi
+    a = prior.alpha_pi
+    lp = jnp.sum((a - 1.0) * jnp.log(pi + 1e-16))
+    lp += jnp.sum(jax.scipy.special.gammaln(jnp.sum(a, -1))
+                  - jnp.sum(jax.scipy.special.gammaln(a), -1))
+    # Wishart on Qinv_k, Rinv
+    lp += jnp.sum(jax.vmap(wishart_logpdf, in_axes=(0, None, 0))(
+        params.Qinv, prior.df_Qinv, prior.scale_Qinv))
+    lp += wishart_logpdf(params.Rinv, prior.df_Rinv, prior.scale_Rinv)
+    # A_k | Q_k ~ MN(mean_A, Q_k, diag(var_col_A))
+    LQ = params.LQinv
+    half_logdet_q = jnp.sum(jnp.log(jnp.abs(
+        jnp.diagonal(LQ, axis1=-2, axis2=-1))), axis=-1)        # [K]
+    diffA = params.A - prior.mean_A
+    quadA = jnp.einsum('kij,kil,klj,kj->', diffA, params.Qinv, diffA,
+                       1.0 / prior.var_col_A)
+    lp += (jnp.sum(n * half_logdet_q)
+           - 0.5 * n * jnp.sum(jnp.log(prior.var_col_A))
+           - 0.5 * n * n * K * _LOG_2PI - 0.5 * quadA)
+    # C | R ~ MN(mean_C, R, diag(var_col_C))
+    LR = params.LRinv
+    half_logdet_r = jnp.sum(jnp.log(jnp.abs(jnp.diag(LR))))
+    diffC = params.C - prior.mean_C
+    quadC = jnp.einsum('ij,il,lj,j->', diffC, params.Rinv, diffC,
+                       1.0 / prior.var_col_C)
+    lp += (n * half_logdet_r - 0.5 * m * jnp.sum(jnp.log(prior.var_col_C))
+           - 0.5 * m * n * _LOG_2PI - 0.5 * quadC)
+    return lp
+
+
+def grad_logprior(prior: SLDSPrior, params: SLDSParams) -> SLDSParams:
+    """Autodiff score of the (closed-form, smooth) log-prior in the stored
+    coordinates (logit_pi, A, LQinv_vec, C, LRinv_vec)."""
+    return jax.grad(lambda p: logprior(prior, p))(params)
+
+
+def windowed_complete_data_loglikelihood(params: SLDSParams, window, x, z,
+                                         step_weights) -> jax.Array:
+    """Per-step weighted complete-data loglikelihood over a buffered
+    window (`SLDSSampler._subsequence_gradient` kind='complete',
+    `slds/sampler.py:612-660`): step t carries its emission term and the
+    (t-1 -> t) transition terms, weighted by ``step_weights`` (the
+    subsequence unbiasedness weights inside the window, zero on buffers).
+    Step 0 carries no transition term (the reference's empty
+    forward_message at a sequence start)."""
+    K = params.num_states
+    dtype = window.dtype
+    w = step_weights.astype(dtype)
+    # z-transition terms into t (0 at t=0)
+    log_pi = jnp.log(params.pi + 1e-99)
+    trans_z = jnp.concatenate(
+        [jnp.zeros((1,), dtype), log_pi[z[:-1], z[1:]]])
+    # x-transition terms into t
+    logP = ar_logliks(params, x)                    # [W, K]
+    trans_x = jnp.concatenate(
+        [jnp.zeros((1,), dtype),
+         jnp.take_along_axis(logP[1:], z[1:, None], axis=1)[:, 0]])
+    # emission terms
+    diff = window - x @ params.C.T
+    zr = diff @ params.LRinv
+    emit = (-0.5 * params.m * _LOG_2PI
+            + jnp.sum(jnp.log(jnp.abs(jnp.diag(params.LRinv))))
+            - 0.5 * jnp.sum(zr * zr, axis=-1))
+    return jnp.sum(w * (trans_z + trans_x + emit))
+
+
+def windowed_complete_gradient(params: SLDSParams, window, x, z,
+                               step_weights):
+    """(grad_tree, weighted loglik) for one buffered window given latent
+    draws (x, z) on the window."""
+    ll, grad = jax.value_and_grad(
+        lambda p: windowed_complete_data_loglikelihood(
+            p, window, x, z, step_weights))(params)
+    return grad, ll
 
 
 def sample_prior(prior: SLDSPrior, key) -> SLDSParams:

@@ -109,7 +109,7 @@ def _box_muller(shape):
 
 def _fused_window_kernel(model: FusedModel, W: int, s: int, B: int,
                          lambduh: float, ess_threshold: float | None,
-                         kernel_rng: bool,
+                         kernel_rng: bool, qp_merge: int,
                          pvec_ref,      # [CB, P, B] f32 VMEM (lane-replicated)
                          x0_ref,        # [CB, D*s, B] f32 VMEM
                          normals_ref,   # [CB, W, D*s, B] f32 VMEM, or (with
@@ -200,23 +200,35 @@ def _fused_window_kernel(model: FusedModel, W: int, s: int, B: int,
 
         Ks = K * s
         outs = []
-        for qp in range(s):
-            posc = (s * sub_iota_col + (qp + xi_t)) / N       # [CB,B',1]
+        for qp0 in range(0, s, qp_merge):
+            # one dot for qp_merge sub-rows: stack their B1 blocks along
+            # the sublane axis so the (weight-stationary) W1 matrix is
+            # loaded into the MXU once per group instead of once per qp
+            if qp_merge == 1:
+                posc = (s * sub_iota_col + (qp0 + xi_t)) / N  # [CB,B',1]
+            else:
+                qp_off = fiota((CB, qp_merge * B, 1), 1) // B  # group row
+                sub_in = fiota((CB, qp_merge * B, 1), 1) % B
+                posc = (s * sub_in + (qp0 + qp_off + xi_t)) / N
             B1 = ((posc >= bnd_prev).astype(jnp.bfloat16)
-                  - (posc >= bnd_row).astype(jnp.bfloat16))   # [CB,B',B]
+                  - (posc >= bnd_row).astype(jnp.bfloat16))   # [CB,g*B',B]
             G = jax.lax.dot_general(
                 W1, B1, (((2,), (2,)), ((0,), (0,))),
-                preferred_element_type=fdt)                   # [CB,R,B']
-            vals = G[:, :Ks] + G[:, Ks:2 * Ks]                # [CB,K*s,B']
-            c = (G[:, 2 * Ks:2 * Ks + s]
-                 + G[:, 2 * Ks + s:2 * Ks + 2 * s]) \
-                + G[:, 2 * Ks + 2 * s:2 * Ks + 3 * s]         # exact f32
-            posr = (s * lane_iota + (qp + xi_t)) / N          # [CB,1,B']
-            M2 = (posr >= c).astype(fdt)
-            ones2 = jnp.ones_like(M2[:, :1])
-            P2 = jnp.concatenate([ones2, M2[:, :-1]], axis=1) - M2
-            Z = vals * jnp.concatenate([P2] * K, axis=1)      # [CB,K*s,B']
-            outs.append(Z.reshape(CB, K, s, B).sum(axis=2))   # [CB,K,B']
+                preferred_element_type=fdt)                   # [CB,R,g*B']
+            for gi in range(qp_merge):
+                qp = qp0 + gi
+                Gq = G if qp_merge == 1 else \
+                    G[:, :, gi * B:(gi + 1) * B]
+                vals = Gq[:, :Ks] + Gq[:, Ks:2 * Ks]          # [CB,K*s,B']
+                c = (Gq[:, 2 * Ks:2 * Ks + s]
+                     + Gq[:, 2 * Ks + s:2 * Ks + 2 * s]) \
+                    + Gq[:, 2 * Ks + 2 * s:2 * Ks + 3 * s]    # exact f32
+                posr = (s * lane_iota + (qp + xi_t)) / N      # [CB,1,B']
+                M2 = (posr >= c).astype(fdt)
+                ones2 = jnp.ones_like(M2[:, :1])
+                P2 = jnp.concatenate([ones2, M2[:, :-1]], axis=1) - M2
+                Z = vals * jnp.concatenate([P2] * K, axis=1)  # [CB,K*s,B']
+                outs.append(Z.reshape(CB, K, s, B).sum(axis=2))
         Vr = jnp.stack(outs, axis=2).reshape(CB, K * s, B)    # rows (k, q)
         if ess_threshold is not None:
             Vr = jnp.where(do_res, Vr, V)
@@ -273,7 +285,7 @@ def _fused_window_kernel(model: FusedModel, W: int, s: int, B: int,
 
 @functools.partial(jax.jit, static_argnames=(
     "model", "lambduh", "chain_block", "interpret", "ess_threshold",
-    "kernel_rng"))
+    "kernel_rng", "qp_merge"))
 def fused_window_batched(model: FusedModel,
                          pvec: jax.Array,      # [C, P]
                          x0: jax.Array,        # [C, D*s, B]
@@ -286,7 +298,8 @@ def fused_window_batched(model: FusedModel,
                          chain_block: int = 8,
                          interpret: bool = False,
                          ess_threshold: float | None = None,
-                         kernel_rng: bool = False):
+                         kernel_rng: bool = False,
+                         qp_merge: int = 1):
     """Run the fused window for a batch of chains.
 
     Returns (mean_statistic [C, H], loglikelihood [C]).
@@ -316,7 +329,7 @@ def fused_window_batched(model: FusedModel,
         normals_arg = normals.astype(fdt)
     out = pl.pallas_call(
         functools.partial(_fused_window_kernel, model, W, s, B, lambduh,
-                          ess_threshold, kernel_rng),
+                          ess_threshold, kernel_rng, qp_merge),
         grid=(C // CB,),
         in_specs=[
             pl.BlockSpec((CB, pvec.shape[-1], B), lambda i: (i, 0, 0),
@@ -365,7 +378,7 @@ def _bc(x, batched, n):
 @functools.lru_cache(maxsize=None)
 def _fused_callable(model: FusedModel, lambduh: float, interpret: bool,
                     ess_threshold: float | None = None,
-                    kernel_rng: bool = False):
+                    kernel_rng: bool = False, qp_merge: int = 1):
     """Single-chain fused call whose vmap collapses into real chain
     batches (nested vmaps flatten)."""
 
@@ -379,7 +392,8 @@ def _fused_callable(model: FusedModel, lambduh: float, interpret: bool,
                                     xi, lambduh=lambduh, chain_block=cb,
                                     interpret=interpret,
                                     ess_threshold=ess_threshold,
-                                    kernel_rng=kernel_rng)
+                                    kernel_rng=kernel_rng,
+                                    qp_merge=qp_merge)
 
     @flat.def_vmap
     def flat_vmap(axis_size, in_batched, *args):
@@ -395,7 +409,7 @@ def _fused_callable(model: FusedModel, lambduh: float, interpret: bool,
             model, pvec[None], x0[None], normals[None], ys[None],
             weights[None], xi[None], lambduh=lambduh, chain_block=1,
             interpret=interpret, ess_threshold=ess_threshold,
-            kernel_rng=kernel_rng)
+            kernel_rng=kernel_rng, qp_merge=qp_merge)
         return ms[0], ll[0]
 
     @single.def_vmap
@@ -410,7 +424,7 @@ def fused_pf_score(model: FusedModel, key, params, window, step_weights,
                    n_particles: int, prior_mean, prior_var,
                    lambduh: float = 1.0, interpret: bool = False,
                    ess_threshold: float | None = None,
-                   rng: str = "host"):
+                   rng: str = "host", qp_merge: int = 1):
     """Single-chain fused buffered-PF score: (mean_stat [H], loglik).
 
     Draws x0, per-step proposal normals, and systematic offsets from
@@ -451,5 +465,6 @@ def fused_pf_score(model: FusedModel, key, params, window, step_weights,
     ys = window.reshape(W).astype(jnp.float32)
     fn = _fused_callable(model, float(lambduh), bool(interpret),
                          None if ess_threshold is None
-                         else float(ess_threshold), kernel_rng)
+                         else float(ess_threshold), kernel_rng,
+                         int(qp_merge))
     return fn(pvec, x0, normals, ys, step_weights.astype(jnp.float32), xi)

@@ -72,15 +72,21 @@ def test_seq_full_sequence_ld_matches_per_sequence_scores():
         np.asarray(f(jax.random.fold_in(jax.random.PRNGKey(0), i)).A)
         for i in range(R)])[:, 0, 0]
 
-    # per-sequence full-window scores, summed
+    # per-sequence full-window scores, summed (score fns built & jitted
+    # once — rebuilding them per rep recompiles the same program ~160x,
+    # which is slow and has segfaulted XLA's CPU compiler under the full
+    # suite's accumulated compile pressure)
+    per_seq_fns = [
+        jax.jit(sgmcmc.make_pf_score_fn(
+            svm.KERNEL, svm.grad_statistic, 3, svm.unpack_grad, cfg,
+            obs.shape[0], prior_mean_var_fn=pmv))
+        for obs in seqs]
+    seq_arrays = [jnp.asarray(obs) for obs in seqs]
+
     def per_seq(key):
         tot = 0.0
-        for j, obs in enumerate(seqs):
-            T_j = obs.shape[0]
-            one = sgmcmc.make_pf_score_fn(
-                svm.KERNEL, svm.grad_statistic, 3, svm.unpack_grad, cfg,
-                T_j, prior_mean_var_fn=pmv)
-            g, _ = one(jax.random.fold_in(key, j), true, jnp.asarray(obs))
+        for j, (one, obs) in enumerate(zip(per_seq_fns, seq_arrays)):
+            g, _ = one(jax.random.fold_in(key, j), true, obs)
             tot = tot + g.A[0, 0]
         return float(tot)
 
