@@ -22,7 +22,7 @@ from sgmcmc_tpu.inference import sgmcmc
 from sgmcmc_tpu.models import svm
 
 N_PARTICLES = 1024
-N_CHAINS = 2048
+N_CHAINS = 8192
 SUBSEQ, BUFFER = 40, 10
 T = 1000
 ITERS = 20
