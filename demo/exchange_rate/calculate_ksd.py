@@ -15,9 +15,13 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 
 import numpy as np
 
+# Natural KSD coordinates: SVM over (phi, sigma, tau) as in the reference
+# demo (`save_svm_params.py` / `calculate_ksd.py`); GARCH over
+# ['log_mu','logit_phi','logit_lambduh','LRinv'] (`calculate_ksd.py:59-61`
+# — the reference demo evaluates LRinv itself, unlike the experiment
+# driver's tau), where scalar LRinv == LRinv_vec.
 VARIABLES = {
-    "svm": ["A", "LQinv_vec", "LRinv_vec"],
-    # `calculate_ksd.py:59-61`
+    "svm": ["phi", "sigma", "tau"],
     "garch": ["log_mu", "logit_phi", "logit_lambduh", "LRinv_vec"],
 }
 
@@ -58,7 +62,14 @@ def main():
             grads.append(sampler.noisy_gradient(
                 pf="paris", N=args.N, subsequence_length=-1,
                 is_scaled=False, resample_mode="auto"))
-        ksd = compute_ksd(params_list, grads, VARIABLES[args.model])
+        if args.model == "svm":
+            from sgmcmc_tpu.experiments.driver import convert_gradient
+            nat = [convert_gradient("svm", q, g)
+                   for q, g in zip(params_list, grads)]
+            ksd = compute_ksd([v for v, _ in nat], [g for _, g in nat],
+                              VARIABLES["svm"])
+        else:
+            ksd = compute_ksd(params_list, grads, VARIABLES[args.model])
         print(trace_path, ksd)
 
 

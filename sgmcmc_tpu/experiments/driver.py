@@ -46,11 +46,62 @@ logging.basicConfig(
 logger = logging.getLogger(__name__)
 
 KSD_VARIABLES = {
-    # `svm/driver.py:927`, `garch/driver.py:928`, `lgssm/driver.py:1043`
-    "svm": ["A", "LQinv_vec", "LRinv_vec"],
-    "garch": ["log_mu", "logit_phi", "logit_lambduh", "LRinv_vec"],
-    "lgssm": ["A", "LQinv_vec", "LRinv_vec"],
+    # natural trace-eval coordinates, matching the reference drivers:
+    # SVM ['phi','sigma','tau'] (`svm/driver.py:927`), GARCH
+    # ['log_mu','logit_phi','logit_lambduh','tau'] (`garch/driver.py:928`),
+    # LGSSM ['A','Q','R'] (`lgssm/driver.py:1043`)
+    "svm": ["phi", "sigma", "tau"],
+    "garch": ["log_mu", "logit_phi", "logit_lambduh", "tau"],
+    "lgssm": ["A", "Q", "R"],
 }
+
+
+def convert_gradient(model_name: str, params, grad):
+    """Reparameterize a storage-coordinate score into the natural KSD
+    coordinates (the reference's `convert_gradient`,
+    `svm/driver.py:1490-1499` / `garch/driver.py` / `lgssm/driver.py:
+    1633-1671`) — scalar models only, like the reference.
+
+    Documented delta: the exact chain rule is used.  With sigma =
+    1/LQinv the reference multiplies by -LQinv^{-1} where the Jacobian
+    dLQinv/dsigma = -LQinv^2; with Q = LQinv^{-2} the LGSSM natural
+    score is -0.5 * g_LQinv * LQinv^3.
+    """
+    from types import SimpleNamespace
+
+    def scal(x):
+        return float(np.ravel(np.asarray(x))[0])
+
+    if model_name == "svm":
+        LQ, LR = scal(params.LQinv_vec), scal(params.LRinv_vec)
+        vals = dict(phi=np.ravel(np.asarray(params.A)),
+                    sigma=np.array([1.0 / LQ]), tau=np.array([1.0 / LR]))
+        grads = dict(phi=np.ravel(np.asarray(grad.A)),
+                     sigma=-np.ravel(np.asarray(grad.LQinv_vec)) * LQ ** 2,
+                     tau=-np.ravel(np.asarray(grad.LRinv_vec)) * LR ** 2)
+    elif model_name == "garch":
+        LR = scal(params.LRinv_vec)
+        vals = dict(
+            log_mu=np.ravel(np.asarray(params.log_mu)),
+            logit_phi=np.ravel(np.asarray(params.logit_phi)),
+            logit_lambduh=np.ravel(np.asarray(params.logit_lambduh)),
+            tau=np.array([1.0 / LR]))
+        grads = dict(
+            log_mu=np.ravel(np.asarray(grad.log_mu)),
+            logit_phi=np.ravel(np.asarray(grad.logit_phi)),
+            logit_lambduh=np.ravel(np.asarray(grad.logit_lambduh)),
+            tau=-np.ravel(np.asarray(grad.LRinv_vec)) * LR ** 2)
+    elif model_name == "lgssm":
+        LQ, LR = scal(params.LQinv_vec), scal(params.LRinv_vec)
+        vals = dict(A=np.ravel(np.asarray(params.A)),
+                    Q=np.array([LQ ** -2]), R=np.array([LR ** -2]))
+        grads = dict(
+            A=np.ravel(np.asarray(grad.A)),
+            Q=-0.5 * np.ravel(np.asarray(grad.LQinv_vec)) * LQ ** 3,
+            R=-0.5 * np.ravel(np.asarray(grad.LRinv_vec)) * LR ** 3)
+    else:
+        raise ValueError(f"no natural coordinates for {model_name}")
+    return SimpleNamespace(**vals), SimpleNamespace(**grads)
 
 TRUE_PARAMS = {
     "svm": dict(A=0.9, Q=0.5, R=1.0),
@@ -347,7 +398,11 @@ def do_eval_ksd(args, options):
         sampler.parameters = q
         grads.append(sampler.noisy_gradient(**grad_kwargs))
     variables = KSD_VARIABLES[options["model"]]
-    ksd = compute_ksd(params_list, grads, variables,
+    # reparameterize (theta, score) pairs into the natural trace-eval
+    # coordinates (`convert_gradient`, `svm/driver.py:1014-1049`)
+    nat = [convert_gradient(options["model"], q, g)
+           for q, g in zip(params_list, grads)]
+    ksd = compute_ksd([v for v, _ in nat], [g for _, g in nat], variables,
                       max_block_size=512)
     rows = [dict(metric="ksd", variable=v, value=val,
                  experiment_id=options["experiment_id"])

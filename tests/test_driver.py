@@ -84,3 +84,57 @@ def test_fit_resume(exp_dir):
     driver.do_fit(args, o)     # resumes and adds more iterations
     it2 = ckpt.load_pickle(state_path)["iteration"]
     assert it2 >= it1
+
+
+def test_convert_gradient_exact_chain_rule():
+    """Natural-coordinate scores from `convert_gradient` must equal
+    autodiff of the same scalar function expressed in natural coordinates
+    (the reference's converters use ad-hoc Jacobian factors; ours are the
+    exact chain rule — documented delta)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sgmcmc_tpu.experiments.driver import convert_gradient
+    from sgmcmc_tpu.models import garch, lgssm, svm
+
+    # SVM: (phi, sigma, tau) with LQinv = 1/sigma, LRinv = 1/tau
+    p = svm.from_scalars(A=0.7, Q=0.5, R=1.3, dtype=jnp.float64)
+
+    def f_storage(q):
+        return (jnp.sum(q.A ** 2) + jnp.sum(jnp.sin(q.LQinv_vec))
+                + jnp.sum(q.LRinv_vec ** 3))
+
+    g = jax.grad(f_storage)(p)
+    vals, gn = convert_gradient("svm", p, g)
+
+    def f_nat(phi, sigma, tau):
+        return (phi ** 2 + jnp.sin(1.0 / sigma) + (1.0 / tau) ** 3)
+
+    gp, gs, gt = jax.grad(f_nat, argnums=(0, 1, 2))(
+        jnp.float64(vals.phi[0]), jnp.float64(vals.sigma[0]),
+        jnp.float64(vals.tau[0]))
+    np.testing.assert_allclose(gn.phi[0], float(gp), rtol=1e-10)
+    np.testing.assert_allclose(gn.sigma[0], float(gs), rtol=1e-10)
+    np.testing.assert_allclose(gn.tau[0], float(gt), rtol=1e-10)
+
+    # LGSSM: (A, Q, R) with Q = LQinv^-2
+    pl = lgssm.from_matrices(A=0.8, C=1.0, Q=0.5, R=1.1)
+    gl = jax.grad(lambda q: jnp.sum(jnp.cos(q.LQinv_vec))
+                  + jnp.sum(q.LRinv_vec ** 2))(pl)
+    valsl, gnl = convert_gradient("lgssm", pl, gl)
+    gQ = jax.grad(lambda Q: jnp.cos(Q ** -0.5))(jnp.float64(valsl.Q[0]))
+    gR = jax.grad(lambda R: (R ** -0.5) ** 2)(jnp.float64(valsl.R[0]))
+    np.testing.assert_allclose(gnl.Q[0], float(gQ), rtol=1e-10)
+    np.testing.assert_allclose(gnl.R[0], float(gR), rtol=1e-10)
+
+    # GARCH: tau = 1/LRinv, rest passthrough
+    pg = garch.from_alpha_beta_gamma(alpha=0.1, beta=0.4,
+                                 gamma=0.3, R=0.5,
+                                 dtype=jnp.float64)
+    gg = jax.grad(lambda q: jnp.sum(q.LRinv_vec ** 2)
+                  + jnp.sum(q.log_mu))(pg)
+    valsg, gng = convert_gradient("garch", pg, gg)
+    gtau = jax.grad(lambda t: (1.0 / t) ** 2)(jnp.float64(valsg.tau[0]))
+    np.testing.assert_allclose(gng.tau[0], float(gtau), rtol=1e-10)
+    np.testing.assert_allclose(gng.log_mu, np.ravel(np.asarray(gg.log_mu)))
