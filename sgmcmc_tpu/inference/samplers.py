@@ -656,6 +656,49 @@ class SeqSampler(Sampler):
             self.next_key(), self.parameters, self.observations)
         return float(loglik)
 
+    def _sub_sampler(self, i: int) -> "Sampler":
+        """Cached single-sequence Sampler view of sequence i (shares the
+        model/prior; parameters are refreshed on every use)."""
+        key = ("sub", i)
+        if key not in self._cache:
+            T_i = int(np.asarray(self.lengths)[i])
+            self._cache[key] = Sampler(
+                self.model, self.observations[i, :T_i], prior=self.prior,
+                parameters=self.parameters)
+        sub = self._cache[key]
+        sub.parameters = self.parameters
+        sub._key = self.next_key()
+        return sub
+
+    def predict(self, *args, **kwargs) -> list:
+        """Per-sequence predictions, returned as a list (the reference's
+        `SeqSGMCMCSampler.predict` loops sequences,
+        `sgmcmc_sampler.py:1285-1423`)."""
+        return [self._sub_sampler(i).predict(*args, **kwargs)
+                for i in range(len(self._sequences))]
+
+    def predictive_loglikelihood(self, num_sequences: int = -1,
+                                 **kwargs) -> float:
+        """Sum of per-sequence predictive loglikelihoods over a random
+        subset, rescaled by T_total / T_chosen
+        (`SeqSGMCMCSampler.predictive_loglikelihood`,
+        `sgmcmc_sampler.py:1224-1248`)."""
+        n_seq = len(self._sequences)
+        idx = np.arange(n_seq)
+        if num_sequences != -1:
+            rng = np.random.default_rng(
+                int(jax.random.randint(self.next_key(), (), 0, 2 ** 31)))
+            idx = rng.choice(idx, num_sequences, replace=False)
+        total, S = 0.0, 0.0
+        lengths = np.asarray(self.lengths)
+        for i in idx:
+            total += self._sub_sampler(int(i)).predictive_loglikelihood(
+                **kwargs)
+            S += float(lengths[i])
+        if num_sequences != -1:
+            total *= float(lengths.sum()) / S
+        return total
+
     def exact_loglikelihood(self) -> float:
         """Sum of per-sequence exact marginal loglikelihoods
         (`SeqSGMCMCSampler.exact_loglikelihood`,

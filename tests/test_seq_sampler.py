@@ -206,3 +206,18 @@ def test_seq_hmm_and_arphmm_samplers_run():
                   buffer_length=4)
     s.project_parameters()
     assert np.isfinite(s.exact_loglikelihood())
+
+
+def test_seq_predict_and_predictive_loglikelihood():
+    true, seqs = make_sequences(9, n_seq=3)
+    s = SeqSVMSampler(seqs, seed=11, parameters=true)
+    preds = s.predict(target="latent", kind="pf", N=64)
+    assert len(preds) == 3
+    # pf models return an array over prediction lags (slot 0 = loglik),
+    # like the reference (`svm/helper.py:187-247`); the Seq version sums
+    # per-sequence arrays
+    pll = s.predictive_loglikelihood(N=64, num_steps_ahead=2)
+    assert np.all(np.isfinite(pll))
+    pll_sub = s.predictive_loglikelihood(num_sequences=2, N=64,
+                                         num_steps_ahead=2)
+    assert np.all(np.isfinite(pll_sub))
