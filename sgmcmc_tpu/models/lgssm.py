@@ -114,6 +114,36 @@ def marginal_loglikelihood(params: LGSSMParams, observations,
         forward_msg, backward_msg, weights)
 
 
+def parallel_marginal_loglikelihood(params: LGSSMParams, observations,
+                                    forward_msg=None):
+    """O(log T)-depth full-data loglikelihood via the associative-scan
+    Kalman filter (`ops/kalman_parallel.py`); numerically equal to
+    `marginal_loglikelihood` — use for long-sequence full-data passes."""
+    from ..ops import kalman_parallel
+    if forward_msg is None:
+        forward_msg = default_forward_message(params)
+    return kalman_parallel.parallel_marginal_loglikelihood(
+        observations, params.A, params.C, params.LQinv, params.LRinv,
+        forward_msg)
+
+
+def parallel_latent_var_distr(params: LGSSMParams, observations,
+                              smoothed: bool = True, forward_msg=None):
+    """O(log T)-depth filtered/smoothed marginals (means, covs) via
+    associative scans; matches `latent_var_distr`."""
+    from ..ops import kalman_parallel
+    if forward_msg is None:
+        forward_msg = default_forward_message(params)
+    if smoothed:
+        return kalman_parallel.parallel_smoothed_moments(
+            observations, params.A, params.C, params.LQinv, params.LRinv,
+            forward_msg)
+    fm = kalman_parallel.parallel_filtered_moments(
+        observations, params.A, params.C, params.LQinv, params.LRinv,
+        forward_msg)
+    return fm.mean, fm.cov
+
+
 def gradient_marginal_loglikelihood(params: LGSSMParams, observations,
                                     forward_msg=None, backward_msg=None,
                                     weights=None, include_init=True
