@@ -159,6 +159,20 @@ def gradient_marginal_loglikelihood(params, observations, forward_msg=None,
                         LRinv_vec=jax.vmap(mat_to_tril_vector)(g_LR))
 
 
+def parallel_marginal_loglikelihood(params, observations,
+                                    forward_msg=None, backward_msg=None):
+    """O(log T)-depth full-data loglikelihood via associative prefix
+    products of the per-step transition-emission matrices
+    (`ops/hmm.parallel_forward_messages`)."""
+    logP = emission_logliks(params, observations)
+    if forward_msg is None:
+        forward_msg = default_forward_message(params)
+    if backward_msg is None:
+        backward_msg = default_backward_message(params)
+    return hmm.parallel_marginal_loglikelihood(logP, params.pi,
+                                               forward_msg, backward_msg)
+
+
 def predictive_loglikelihood(params, observations, lag=1, forward_msg=None):
     logP = emission_logliks(params, observations)
     if forward_msg is None:

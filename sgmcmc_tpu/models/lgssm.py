@@ -144,6 +144,17 @@ def parallel_latent_var_distr(params: LGSSMParams, observations,
     return fm.mean, fm.cov
 
 
+def parallel_gradient_marginal_loglikelihood(params: LGSSMParams,
+                                             observations,
+                                             forward_msg=None
+                                             ) -> LGSSMParams:
+    """O(log T)-depth exact full-data score: autodiff through the
+    associative-scan filter.  Matches `gradient_marginal_loglikelihood`;
+    use for long-sequence full-data scores (KSD, LD baselines)."""
+    return jax.grad(lambda p: parallel_marginal_loglikelihood(
+        p, observations, forward_msg))(params)
+
+
 def gradient_marginal_loglikelihood(params: LGSSMParams, observations,
                                     forward_msg=None, backward_msg=None,
                                     weights=None, include_init=True

@@ -92,6 +92,54 @@ def backward_messages(logP: jax.Array, Pi: jax.Array,
     return HMMMessage(probs, log_constants)
 
 
+def parallel_forward_messages(logP: jax.Array, Pi: jax.Array,
+                              init: HMMMessage) -> HMMMessage:
+    """O(log T)-depth forward filtering via associative prefix products.
+
+    The forward recursion p_t ∝ (p_{t-1} @ Pi) ⊙ P_t is a product of
+    per-step K x K matrices M_t = Pi ⊙ row(P_t), so
+    `jax.lax.associative_scan` over normalized (M, log_scale) pairs
+    evaluates all filtered messages in log depth — the discrete-state
+    twin of `ops/kalman_parallel.py`, for the full-data HMM passes
+    (exact gradients, KSD scores, offline eval).  Matches
+    `forward_messages` (unweighted, all-valid) to numerical precision.
+    """
+    T, K = logP.shape
+    dtype = logP.dtype
+    m = jnp.max(logP, axis=1)                          # [T]
+    Pt = jnp.exp(logP - m[:, None])                    # [T, K]
+    M = Pi[None] * Pt[:, None, :]                      # [T, K, K]
+    s = jnp.sum(jnp.sum(M, axis=-1), axis=-1)          # [T]
+    Mn = M / s[:, None, None]
+    logc = m + jnp.log(s)
+
+    def combine(a, b):
+        Ma, ca = a
+        Mb, cb = b
+        P = Ma @ Mb
+        sp = jnp.sum(jnp.sum(P, axis=-1), axis=-1)
+        return (P / sp[..., None, None], ca + cb + jnp.log(sp))
+
+    Mpre, cpre = jax.lax.associative_scan(combine, (Mn, logc))
+    p_unnorm = jnp.einsum('k,tkj->tj', init.prob, Mpre)
+    norm = jnp.sum(p_unnorm, axis=1)
+    probs = jnp.concatenate([init.prob[None], p_unnorm / norm[:, None]])
+    log_constants = jnp.concatenate(
+        [jnp.zeros((1,), dtype), cpre + jnp.log(norm)]) + init.log_constant
+    return HMMMessage(probs, log_constants)
+
+
+def parallel_marginal_loglikelihood(logP, Pi, forward_msg: HMMMessage,
+                                    backward_msg: HMMMessage) -> jax.Array:
+    """Full-data marginal loglikelihood from the parallel forward filter
+    (unweighted; the buffered/weighted estimators keep the sequential
+    scan)."""
+    fwd = parallel_forward_messages(logP, Pi, forward_msg)
+    lik = fwd.prob[-1] @ backward_msg.prob
+    return (fwd.log_constant[-1] + jnp.log(lik)
+            + backward_msg.log_constant)
+
+
 def marginal_loglikelihood(logP, Pi, forward_msg: HMMMessage,
                            backward_msg: HMMMessage, weights=None):
     """`marginal_loglikelihood` (`hmm_helper.py:117-142`)."""

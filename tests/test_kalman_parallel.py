@@ -66,3 +66,36 @@ def test_parallel_filter_jits_and_scales():
     f = jax.jit(lambda o: kalman_parallel.parallel_marginal_loglikelihood(
         o, params.A, params.C, params.LQinv, params.LRinv))
     assert np.isfinite(float(f(ys)))
+
+
+def test_parallel_gradient_matches_analytic():
+    """jax.grad through the associative-scan filter equals the analytic
+    pairwise-moment gradient (`lgssm/helper.py:312-420`)."""
+    params = make_params(2, 2, seed=31)
+    ys, _ = lgssm.generate_data(jax.random.PRNGKey(77), params, 60)
+    g_par = lgssm.parallel_gradient_marginal_loglikelihood(params, ys)
+    g_seq = lgssm.gradient_marginal_loglikelihood(params, ys)
+    for name in ["A", "C", "LQinv_vec", "LRinv_vec"]:
+        np.testing.assert_allclose(np.asarray(getattr(g_par, name)),
+                                   np.asarray(getattr(g_seq, name)),
+                                   rtol=1e-6, atol=1e-9, err_msg=name)
+
+
+def test_parallel_hmm_forward_matches_sequential():
+    from sgmcmc_tpu.ops import hmm
+
+    rng = np.random.default_rng(4)
+    K, T = 3, 41
+    Pi = jnp.asarray(rng.dirichlet(np.ones(K) * 2, size=K))
+    logP = jnp.asarray(rng.normal(size=(T, K)) * 2.0)
+    init = hmm.default_forward_message(K)
+    seq = hmm.forward_messages(logP, Pi, init)
+    par = hmm.parallel_forward_messages(logP, Pi, init)
+    np.testing.assert_allclose(np.asarray(par.prob), np.asarray(seq.prob),
+                               rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(par.log_constant),
+                               np.asarray(seq.log_constant), rtol=1e-9)
+    bwd = hmm.default_backward_message(K)
+    np.testing.assert_allclose(
+        float(hmm.parallel_marginal_loglikelihood(logP, Pi, init, bwd)),
+        float(hmm.marginal_loglikelihood(logP, Pi, init, bwd)), rtol=1e-9)
