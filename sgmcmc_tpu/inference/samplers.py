@@ -257,6 +257,37 @@ class Sampler:
             self.next_key(), self.parameters, self.observations)
         return self.parameters
 
+    def step_precondition_sgd(self, epsilon, **kwargs):
+        """Preconditioned SGD (MAP ascent in the Riemannian metric;
+        `step_precondition_sgd`, `sgmcmc_sampler.py:486-502`)."""
+        m = self.model
+        if m.precondition is None:
+            raise NotImplementedError(f"{m.name} has no preconditioner")
+        cache_key = ("psgd_step", float(epsilon),
+                     tuple(sorted(kwargs.items())))
+        if cache_key not in self._cache:
+            grad_fn = self._grad_fn(preconditioned=True, **kwargs)
+
+            def step(key, params, obs):
+                grad, ll = grad_fn(key, params, obs)
+                new = sgmcmc.tree_axpy(epsilon, grad, params)
+                return m.project_parameters(new), ll
+
+            self._cache[cache_key] = jax.jit(step)
+        self.parameters, _ = self._cache[cache_key](
+            self.next_key(), self.parameters, self.observations)
+        return self.parameters
+
+    def exact_logjoint(self, return_loglike: bool = False):
+        """loglikelihood + logprior at the current parameters
+        (`exact_logjoint`, `sgmcmc_sampler.py:38-49`)."""
+        loglikelihood = self.exact_loglikelihood()
+        logprior = float(self.model.logprior(self.prior, self.parameters))
+        if return_loglike:
+            return dict(logjoint=loglikelihood + logprior,
+                        loglikelihood=loglikelihood)
+        return loglikelihood + logprior
+
     def sample_sgld_cv(self, epsilon, centering_parameters,
                        centering_gradient, **kwargs):
         """SGLD with control variates (`sample_sgld_cv`,
@@ -310,11 +341,21 @@ class Sampler:
     # -- fit ---------------------------------------------------------------
     def get_iter_step(self, iter_type: str):
         """iter_type -> bound step method (`get_iter_step`,
-        `sgmcmc_sampler.py:896-947`)."""
+        `sgmcmc_sampler.py:896-947`).  'custom' takes
+        ``iter_funcs=[(method_name, kwargs), ...]`` per iteration, like
+        the reference's iter_func_names/iter_func_kwargs pairs."""
+        if iter_type == "custom":
+            def custom_step(epsilon=None, iter_funcs=(), **_):
+                for name, fkw in iter_funcs:
+                    getattr(self, name)(**fkw)
+                return self.parameters
+
+            return custom_step
         table = {
             "SGLD": self.sample_sgld,
             "SGRLD": self.sample_sgrld,
             "SGD": self.step_sgd,
+            "SGRD": self.step_precondition_sgd,
             "ADAGRAD": self.step_adagrad,
         }
         if iter_type not in table:

@@ -117,3 +117,40 @@ def test_simulate(svm_data):
     s = SVMSampler(observations=None, parameters=true, seed=10)
     ys, xs = s.simulate(100)
     assert ys.shape == (100, 1)
+
+
+def test_exact_logjoint_and_precondition_sgd_and_custom():
+    """exact_logjoint (`sgmcmc_sampler.py:38-49`), SGRD
+    (step_precondition_sgd, `:486-502`), and iter_type='custom'."""
+    import numpy as np
+
+    from sgmcmc_tpu.inference.samplers import LGSSMSampler
+    from sgmcmc_tpu.models import lgssm
+
+    true = lgssm.from_matrices(A=0.8, C=1.0, Q=0.5, R=1.0)
+    ys, _ = lgssm.generate_data(jax.random.PRNGKey(40), true, 200)
+    s = LGSSMSampler(observations=ys, parameters=true, seed=41)
+    out = s.exact_logjoint(return_loglike=True)
+    assert np.isfinite(out["logjoint"])
+    np.testing.assert_allclose(out["loglikelihood"],
+                               s.exact_loglikelihood(), rtol=1e-12)
+    assert out["logjoint"] != out["loglikelihood"]
+
+    ll0 = s.exact_loglikelihood()
+    s.parameters = lgssm.from_matrices(A=0.3, C=1.0, Q=1.5, R=2.0)
+    for _ in range(50):
+        s.step_precondition_sgd(0.5, kind="marginal",
+                                subsequence_length=32, buffer_length=8)
+        s.project_parameters()
+    assert s.exact_loglikelihood() > -1e9
+    assert float(np.asarray(s.parameters.A)[0, 0]) > 0.45  # moved to MAP
+
+    s.fit("SGRD", num_iters=3, epsilon=0.1, kind="marginal",
+          subsequence_length=32, buffer_length=8)
+    s.fit("custom", num_iters=2, iter_funcs=[
+        ("sample_sgld", dict(epsilon=0.05, kind="marginal",
+                             subsequence_length=32, buffer_length=8)),
+        ("project_parameters", {}),
+    ])
+    for leaf in jax.tree_util.tree_leaves(s.parameters):
+        assert np.all(np.isfinite(np.asarray(leaf)))
