@@ -92,6 +92,68 @@ def plot_data_fit(observations, x_mean, x_sd=None, path: str | None = None):
     return fig
 
 
+def _data_fit_panels(observations, transform, true_latent_vars, sampler,
+                     N, panel0_label, panel1_label, latent_panel,
+                     squared=False):
+    observations = np.ravel(np.asarray(observations))
+    fig, axes = plt.subplots(2, 1, sharex=True, figsize=(8, 5))
+    axes[0].plot(observations, "oC0", ms=2, label=panel0_label)
+    axes[0].set_ylabel(panel0_label)
+    axes[1].plot(transform(observations), "oC0", ms=2, label=panel1_label)
+    axes[1].set_ylabel(panel1_label)
+    ax = axes[latent_panel]
+    if true_latent_vars is not None:
+        ax.plot(np.ravel(true_latent_vars), "-C1", label="latent_var")
+    if sampler is not None:
+        mean, var = sampler.predict(target="latent", kind="pf", N=N,
+                                    squared=squared)
+        mean = np.ravel(mean)
+        sd = np.sqrt(np.clip(np.ravel(var), 0.0, None))
+        ax.plot(mean, "-C2", label="PF E[X|Y] +/- SD(X|Y)")
+        ax.plot(mean + sd, "--C2")
+        ax.plot(mean - sd, "--C2")
+    for a in axes:
+        a.legend()
+    fig.tight_layout()
+    return fig, axes
+
+
+def plot_svm_data_fit(observations, true_latent_vars=None, sampler=None,
+                      N: int = 10000, path: str | None = None):
+    """SVM data-fit panels (`plot_svm_data_fit`,
+    `plotting_utils.py:158-196`): raw y_t, and demeaned log(y_t^2) with
+    the PF-smoothed log-volatility overlay."""
+    obs = np.ravel(np.asarray(observations))
+    logsq = np.log(obs ** 2)
+
+    fig, axes = _data_fit_panels(
+        obs, lambda y: np.log(y ** 2) - np.mean(logsq), true_latent_vars,
+        sampler, N, "raw observations", "log(observations^2)",
+        latent_panel=1)
+    if path:
+        fig.savefig(path, dpi=100)
+        plt.close(fig)
+    return fig, axes
+
+
+def plot_garch_data_fit(observations, true_latent_vars=None, sampler=None,
+                        N: int = 10000, path: str | None = None):
+    """GARCH data-fit panels (`plot_garch_data_fit`,
+    `plotting_utils.py:198-236`): y_t with the PF-smoothed latent x_t
+    overlay, and y_t^2."""
+    fig, axes = _data_fit_panels(
+        observations, lambda y: y ** 2, true_latent_vars, sampler, N,
+        "observations", "observations^2", latent_panel=0)
+    if sampler is not None:
+        mean, _ = sampler.predict(target="latent", kind="pf", N=N)
+        axes[1].plot(np.ravel(mean) ** 2, "-C2", label="PF E[X|Y]^2")
+        axes[1].legend()
+    if path:
+        fig.savefig(path, dpi=100)
+        plt.close(fig)
+    return fig, axes
+
+
 def plot_aggregated_metrics(agg: pd.DataFrame, fig_dir: str):
     """Metric-vs-time facets by experiment (`do_make_plots`,
     `svm/driver.py:826-901`)."""
