@@ -159,6 +159,17 @@ def _fused_window_kernel(model: FusedModel, W: int, s: int, B: int,
         # non-replicated layout whose broadcast crashes Mosaic)
         tot = jnp.sum(colsum, axis=2, keepdims=True)          # [CB,1,1]
         ok = tot > 0
+
+        # Deferred loglik increment for the PREVIOUS step's new weights
+        # (`buffered_smoother.py:124`): logw here IS logw_new of step t-1,
+        # and mf/tot above are exactly the reduces the increment needs —
+        # computing it here (and the final step's in the epilogue) saves a
+        # max-tree, an exp over [s,B], and a sum-tree per step.  Row
+        # W + t - 1 at t=0 dereferences a ys row, masked out by prev_mask.
+        prev_mask = jnp.where(t > 0, 1.0, 0.0)
+        w_prev = aux_ref[:, pl.ds(W + t - 1, 1), :]           # [CB,1,B]
+        ll_inc = mf + jnp.log(jnp.where(ok, tot, 1.0)) - jnp.log(float(N))
+        ll = ll + prev_mask * w_prev * jnp.where(ok, ll_inc, -jnp.inf)
         cdf = jnp.where(ok, csum / jnp.where(ok, tot, 1.0),
                         (j_fold + 1.0) / N)
 
@@ -247,14 +258,6 @@ def _fused_window_kernel(model: FusedModel, W: int, s: int, B: int,
         if ess_threshold is not None:
             logw_new = logw_new + jnp.where(do_res, 0.0, carried)
 
-        # loglik increment from the NEW weights (`buffered_smoother.py:124`)
-        m2 = _max2(logw_new)
-        mf2 = jnp.where(jnp.isfinite(m2), m2, 0.0)
-        tot2 = _sum2(jnp.exp(logw_new - mf2))
-        ok2 = tot2 > 0
-        ll_inc = mf2 + jnp.log(jnp.where(ok2, tot2, 1.0)) - jnp.log(float(N))
-        ll = ll + w_t * jnp.where(ok2, ll_inc, -jnp.inf)
-
         h = model.stat(pv, xr, x_new, y_t)
         if lambduh == 1.0:
             s_new = [sr[i] + w_t * h[i] for i in range(H)]
@@ -271,11 +274,15 @@ def _fused_window_kernel(model: FusedModel, W: int, s: int, B: int,
     V, logw, ll = jax.lax.fori_loop(0, W, step, (V0, logw0, ll0))
 
     # ---- weight-averaged final statistic (`buffered_smoother.py:151-154`)
+    # + the deferred loglik increment of the LAST step (same reduces)
     m = _max2(logw)
     mf = jnp.where(jnp.isfinite(m), m, 0.0)
     w = jnp.exp(logw - mf)
-    tot = _sum2(w)
+    tot = jnp.sum(jnp.sum(w, axis=1, keepdims=True), axis=2, keepdims=True)
     ok = tot > 0
+    w_last = aux_ref[:, pl.ds(2 * W - 1, 1), :]           # [CB,1,B]
+    ll_inc = mf + jnp.log(jnp.where(ok, tot, 1.0)) - jnp.log(float(N))
+    ll = ll + w_last * jnp.where(ok, ll_inc, -jnp.inf)
     probs = jnp.where(ok, w / jnp.where(ok, tot, 1.0), 1.0 / (s * B))
     cols = [_sum2(V[:, (D + h) * s:(D + h + 1) * s] * probs)
             for h in range(H)]                            # H x [CB,1,1]
