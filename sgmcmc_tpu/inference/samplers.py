@@ -444,10 +444,32 @@ class Sampler:
     def fit_scan(self, iter_type: str, num_iters: int, epsilon: float = 0.1,
                  steps_per_iteration: int = 1, **kwargs):
         """Whole-loop-compiled fit returning the full parameter trace
-        (SGLD / SGRLD / SGD; the stepwise `fit` covers ADAGRAD and
-        SGLD-CV, whose carried state doesn't fit the scan signature)."""
+        (SGLD / SGRLD / SGD / SGRD / ADAGRAD / SGLD-CV — every gradient
+        iter_type of `get_iter_step`, `sgmcmc_sampler.py:896-947`).
+        ADAGRAD carries its moment state across calls
+        (`self._adagrad_state`); SGLD-CV takes ``centering_parameters`` /
+        ``centering_gradient`` kwargs."""
         m = self.model
         T = self.T
+        if iter_type == "ADAGRAD":
+            grad_fn = self._grad_fn(**kwargs)
+
+            def sstep(key, params, state, obs):
+                return sgmcmc.adagrad_step(key, params, state, obs,
+                                           grad_fn, epsilon)
+
+            if not hasattr(self, "_adagrad_state"):
+                self._adagrad_state = sgmcmc.adagrad_init(self.parameters)
+            runner = jax.jit(
+                lambda key, params, state, obs: sgmcmc.fit_with_state(
+                    key, params, state, obs, sstep, num_iters,
+                    project_fn=m.project_parameters,
+                    steps_per_iter=steps_per_iteration))
+            params, state, trace, _ = runner(
+                self.next_key(), self.parameters, self._adagrad_state,
+                self.observations)
+            self.parameters, self._adagrad_state = params, state
+            return trace
         if iter_type == "SGLD":
             grad_fn = self._grad_fn(**kwargs)
 
@@ -467,15 +489,32 @@ class Sampler:
 
             def step(key, params, obs):
                 return sgmcmc.sgd_step(key, params, obs, grad_fn, epsilon)
+        elif iter_type == "SGRD":
+            grad_fn = self._grad_fn(preconditioned=True, **kwargs)
+
+            def step(key, params, obs):
+                grad, ll = grad_fn(key, params, obs)
+                return sgmcmc.tree_axpy(epsilon, grad, params), ll
+        elif iter_type == "SGLD-CV":
+            c_params = kwargs.pop("centering_parameters")
+            c_grad = kwargs.pop("centering_gradient")
+            grad_fn = self._grad_fn(**kwargs)
+
+            def step(key, params, obs):
+                return sgmcmc.sgld_cv_step(key, params, obs, grad_fn,
+                                           c_params, c_grad, epsilon, T)
         else:
             raise NotImplementedError(
-                f"fit_scan supports SGLD/SGRLD/SGD, not '{iter_type}'")
+                f"fit_scan supports SGLD/SGRLD/SGD/SGRD/ADAGRAD/SGLD-CV, "
+                f"not '{iter_type}'")
 
         cache_key = ("fit_scan", iter_type, float(epsilon), num_iters,
                      steps_per_iteration,
                      tuple(sorted(kwargs.items(), key=lambda kv: kv[0]))
-                     if all(isinstance(v, (int, float, str, bool, type(None)))
-                            for v in kwargs.values()) else None)
+                     if iter_type != "SGLD-CV"    # step closes over arrays
+                     and all(isinstance(v, (int, float, str, bool,
+                                            type(None)))
+                             for v in kwargs.values()) else None)
         if cache_key not in self._cache or cache_key[-1] is None:
             self._cache[cache_key] = jax.jit(
                 lambda key, params, obs: sgmcmc.fit(

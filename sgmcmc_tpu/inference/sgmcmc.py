@@ -551,3 +551,31 @@ def fit(key, params, observations, step_fn, num_iters: int,
         trace, aux = outputs
         return params, trace, aux
     return params, None, outputs
+
+
+def fit_with_state(key, params, state, observations, step_fn,
+                   num_iters: int, project_fn=None, steps_per_iter: int = 1,
+                   output_all: bool = True):
+    """`fit` for steppers that carry optimizer state (ADAGRAD moments,
+    `sgmcmc_sampler.py:504-527`): step_fn(key, params, state, observations)
+    -> (params, state, aux).  Returns (params, state, trace, aux)."""
+    def one_iter(carry, key):
+        def one_step(c, k):
+            p, st = c
+            p, st, aux = step_fn(k, p, st, observations)
+            if project_fn is not None:
+                p = project_fn(p)
+            return (p, st), aux
+
+        step_keys = jax.random.split(key, steps_per_iter)
+        (params, state), aux = jax.lax.scan(one_step, carry, step_keys)
+        out = (params, aux[-1]) if output_all else aux[-1]
+        return (params, state), out
+
+    iter_keys = jax.random.split(key, num_iters)
+    (params, state), outputs = jax.lax.scan(one_iter, (params, state),
+                                            iter_keys)
+    if output_all:
+        trace, aux = outputs
+        return params, state, trace, aux
+    return params, state, None, outputs
