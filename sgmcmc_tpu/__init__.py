@@ -20,11 +20,13 @@ _EXPORTS = {
     "SeqSampler": "sgmcmc_tpu.inference.samplers",
     "LGSSMSampler": "sgmcmc_tpu.inference.samplers",
     "SVMSampler": "sgmcmc_tpu.inference.samplers",
+    "SVJMSampler": "sgmcmc_tpu.inference.samplers",
     "GARCHSampler": "sgmcmc_tpu.inference.samplers",
     "GaussHMMSampler": "sgmcmc_tpu.inference.samplers",
     "ARPHMMSampler": "sgmcmc_tpu.inference.samplers",
     "SLDSSampler": "sgmcmc_tpu.inference.samplers",
     "SeqSVMSampler": "sgmcmc_tpu.inference.samplers",
+    "SeqSVJMSampler": "sgmcmc_tpu.inference.samplers",
     "SeqGARCHSampler": "sgmcmc_tpu.inference.samplers",
     "SeqLGSSMSampler": "sgmcmc_tpu.inference.samplers",
     "SeqGaussHMMSampler": "sgmcmc_tpu.inference.samplers",

@@ -51,6 +51,7 @@ KSD_VARIABLES = {
     # ['log_mu','logit_phi','logit_lambduh','tau'] (`garch/driver.py:928`),
     # LGSSM ['A','Q','R'] (`lgssm/driver.py:1043`)
     "svm": ["phi", "sigma", "tau"],
+    "svjm": ["phi", "sigma", "tau", "logit_pJ", "sigmaJ"],
     "garch": ["log_mu", "logit_phi", "logit_lambduh", "tau"],
     "lgssm": ["A", "Q", "R"],
 }
@@ -79,6 +80,18 @@ def convert_gradient(model_name: str, params, grad):
         grads = dict(phi=np.ravel(np.asarray(grad.A)),
                      sigma=-np.ravel(np.asarray(grad.LQinv_vec)) * LQ ** 2,
                      tau=-np.ravel(np.asarray(grad.LRinv_vec)) * LR ** 2)
+    elif model_name == "svjm":
+        LQ, LR = scal(params.LQinv_vec), scal(params.LRinv_vec)
+        LJ = scal(params.LQJinv_vec)
+        vals = dict(phi=np.ravel(np.asarray(params.A)),
+                    sigma=np.array([1.0 / LQ]), tau=np.array([1.0 / LR]),
+                    logit_pJ=np.ravel(np.asarray(params.logit_pJ)),
+                    sigmaJ=np.array([1.0 / LJ]))
+        grads = dict(phi=np.ravel(np.asarray(grad.A)),
+                     sigma=-np.ravel(np.asarray(grad.LQinv_vec)) * LQ ** 2,
+                     tau=-np.ravel(np.asarray(grad.LRinv_vec)) * LR ** 2,
+                     logit_pJ=np.ravel(np.asarray(grad.logit_pJ)),
+                     sigmaJ=-np.ravel(np.asarray(grad.LQJinv_vec)) * LJ ** 2)
     elif model_name == "garch":
         LR = scal(params.LRinv_vec)
         vals = dict(
@@ -105,6 +118,7 @@ def convert_gradient(model_name: str, params, grad):
 
 TRUE_PARAMS = {
     "svm": dict(A=0.9, Q=0.5, R=1.0),
+    "svjm": dict(A=0.9, Q=0.5, R=1.0, pJ=0.05, QJ=2.0),
     "lgssm": dict(A=0.9, Q=0.5, R=1.0),
     "garch": dict(alpha=0.1, beta=0.4, gamma=0.3, R=0.5),
 }
@@ -121,6 +135,9 @@ def _make_true_params(model_name: str, dtype=None):
     if model_name == "svm":
         from ..models import svm
         return svm.from_scalars(**TRUE_PARAMS["svm"], dtype=dtype)
+    if model_name == "svjm":
+        from ..models import svjm
+        return svjm.from_scalars(**TRUE_PARAMS["svjm"], dtype=dtype)
     if model_name == "lgssm":
         from ..models import lgssm
         p = TRUE_PARAMS["lgssm"]

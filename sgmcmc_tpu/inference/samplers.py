@@ -802,6 +802,11 @@ class SeqSVMSampler(SeqSampler):
         super().__init__("svm", observations, **kw)
 
 
+class SeqSVJMSampler(SeqSampler):
+    def __init__(self, observations, **kw):
+        super().__init__("svjm", observations, **kw)
+
+
 class SeqGARCHSampler(SeqSampler):
     def __init__(self, observations, **kw):
         super().__init__("garch", observations, **kw)
@@ -861,6 +866,13 @@ class LGSSMSampler(GibbsSamplerMixin, Sampler):
 class SVMSampler(Sampler):
     def __init__(self, observations=None, **kw):
         super().__init__("svm", observations, **kw)
+
+
+class SVJMSampler(Sampler):
+    """Stochastic-volatility jump model sampler (the model implied by the
+    reference's unimportable `SVJMEPKernel`/`SVJMEPAvgKernel`)."""
+    def __init__(self, observations=None, **kw):
+        super().__init__("svjm", observations, **kw)
 
 
 class GARCHSampler(Sampler):

@@ -15,6 +15,7 @@ from . import arphmm as arphmm_mod
 from . import garch as garch_mod
 from . import gauss_hmm as gauss_hmm_mod
 from . import lgssm as lgssm_mod
+from . import svjm as svjm_mod
 from . import svm as svm_mod
 
 
@@ -72,6 +73,24 @@ SVM = ModelAPI(
     generate_data=svm_mod.generate_data,
     prior_mean_var=lambda p: (0.0, svm_mod.stationary_variance(p)),
     get_fused=svm_mod.get_fused,
+)
+
+SVJM = ModelAPI(
+    name="svjm",
+    get_kernel=svjm_mod.get_kernel,
+    grad_statistic=svjm_mod.grad_statistic,
+    suff_statistic=svjm_mod.suff_statistic,
+    grad_statistic_dim=svjm_mod.STATISTIC_DIM,
+    suff_statistic_dim=3,
+    unpack_grad=svjm_mod.unpack_grad,
+    default_prior=svjm_mod.default_prior,
+    logprior=svjm_mod.logprior,
+    grad_logprior=svjm_mod.grad_logprior,
+    sample_prior=svjm_mod.sample_prior,
+    project_parameters=svjm_mod.project_parameters,
+    generate_data=svjm_mod.generate_data,
+    prior_mean_var=lambda p: (0.0, svjm_mod.stationary_variance(p)),
+    get_fused=svjm_mod.get_fused,
 )
 
 GARCH = ModelAPI(
@@ -196,6 +215,8 @@ def _arphmm_api(num_states: int = 2, m: int = 1, p: int = 1) -> ModelAPI:
 def get_model(name: str, **kwargs) -> ModelAPI:
     if name == "svm":
         return SVM
+    if name == "svjm":
+        return SVJM
     if name == "garch":
         return GARCH
     if name == "lgssm":
