@@ -22,6 +22,7 @@ import numpy as np
 # driver's tau), where scalar LRinv == LRinv_vec.
 VARIABLES = {
     "svm": ["phi", "sigma", "tau"],
+    "svjm": ["phi", "sigma", "tau", "logit_pJ", "sigmaJ"],
     "garch": ["log_mu", "logit_phi", "logit_lambduh", "LRinv_vec"],
 }
 
@@ -29,7 +30,8 @@ VARIABLES = {
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--trace", nargs="+", required=True)
-    ap.add_argument("--model", default="svm", choices=["svm", "garch"])
+    ap.add_argument("--model", default="svm",
+                    choices=["svm", "svjm", "garch"])
     ap.add_argument("--data", default=None,
                     help="npz with hourly_log_returns (defaults to demo)")
     ap.add_argument("--segment", type=int, default=1)
@@ -39,12 +41,14 @@ def main():
 
     from exchange_rate_demo import DEFAULT_DATA, load_segments
 
-    from sgmcmc_tpu.inference.samplers import GARCHSampler, SVMSampler
+    from sgmcmc_tpu.inference.samplers import (GARCHSampler, SVJMSampler,
+                                               SVMSampler)
     from sgmcmc_tpu.io import checkpoint as ckpt
     from sgmcmc_tpu.metrics.ksd import compute_ksd
 
     obs = load_segments(args.data or DEFAULT_DATA)[args.segment]
-    cls = SVMSampler if args.model == "svm" else GARCHSampler
+    cls = {"svm": SVMSampler, "svjm": SVJMSampler,
+           "garch": GARCHSampler}[args.model]
     sampler = cls(observations=obs, seed=0)
 
     for trace_path in args.trace:
@@ -62,12 +66,12 @@ def main():
             grads.append(sampler.noisy_gradient(
                 pf="paris", N=args.N, subsequence_length=-1,
                 is_scaled=False, resample_mode="auto"))
-        if args.model == "svm":
+        if args.model in ("svm", "svjm"):
             from sgmcmc_tpu.experiments.driver import convert_gradient
-            nat = [convert_gradient("svm", q, g)
+            nat = [convert_gradient(args.model, q, g)
                    for q, g in zip(params_list, grads)]
             ksd = compute_ksd([v for v, _ in nat], [g for _, g in nat],
-                              VARIABLES["svm"])
+                              VARIABLES[args.model])
         else:
             ksd = compute_ksd(params_list, grads, VARIABLES[args.model])
         print(trace_path, ksd)

@@ -60,12 +60,15 @@ def fit_model(model_name, observations, method, num_iters, N, seed=12345,
     segment — `exchange_rate_subset_demo.py:92-115`).
     """
     from sgmcmc_tpu.inference.samplers import (GARCHSampler, SeqGARCHSampler,
-                                               SeqSVMSampler, SVMSampler)
+                                               SeqSVJMSampler, SeqSVMSampler,
+                                               SVJMSampler, SVMSampler)
     if seq:
-        cls = SeqSVMSampler if model_name == "svm" else SeqGARCHSampler
+        cls = {"svm": SeqSVMSampler, "svjm": SeqSVJMSampler,
+               "garch": SeqGARCHSampler}[model_name]
         sampler = cls(observations, seed=seed)
     else:
-        cls = SVMSampler if model_name == "svm" else GARCHSampler
+        cls = {"svm": SVMSampler, "svjm": SVJMSampler,
+               "garch": GARCHSampler}[model_name]
         sampler = cls(observations=observations, seed=seed)
     sampler.project_parameters()
     if method == "sgld":
@@ -90,7 +93,8 @@ def fit_model(model_name, observations, method, num_iters, N, seed=12345,
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--data", default=DEFAULT_DATA)
-    ap.add_argument("--model", default="svm", choices=["svm", "garch"])
+    ap.add_argument("--model", default="svm",
+                    choices=["svm", "svjm", "garch"])
     ap.add_argument("--mode", default="single",
                     choices=["single", "subset", "full"])
     ap.add_argument("--sgld_iters", type=int, default=20000)
