@@ -661,6 +661,33 @@ class Sampler:
                                          include_init=include_init))
         return self.model.generate_data(self.next_key(), p, T)
 
+    # -- reference-name aliases (drop-in ergonomics; the reference exposes
+    # these as separate methods, `sgmcmc_sampler.py:956-1123`) -------------
+    def prior_init(self):
+        """Draw fresh parameters from the prior (`prior_init`,
+        `sgmcmc_sampler.py:139-146`; also done at construction)."""
+        self.parameters = _draw_prior_on_cpu(
+            self.model.sample_prior, self.model.project_parameters,
+            self.prior, self.next_key())
+        return self.parameters
+
+    def latent_var_distr(self, lag=None, **kwargs):
+        return self.predict(target="latent", lag=lag, **kwargs)
+
+    def latent_var_sample(self, num_samples: int = 1, **kwargs):
+        return self.predict(target="latent", num_samples=num_samples,
+                            **kwargs)
+
+    def y_distr(self, lag=None, **kwargs):
+        return self.predict(target="y", lag=lag, **kwargs)
+
+    def y_sample(self, num_samples: int = 1, **kwargs):
+        return self.predict(target="y", num_samples=num_samples, **kwargs)
+
+    def simulate_distr(self, T: int, parameters=None, include_init=True):
+        return self.simulate(T, parameters=parameters, return_distr=True,
+                             include_init=include_init)
+
 
 def pack_sequences(sequences):
     """List of [T_i, ...] arrays -> (padded [n_seq, T_max, ...], lengths)."""

@@ -120,3 +120,24 @@ def test_hmm_predict_probs():
     acc = max(np.mean(probs.argmax(-1) == np.asarray(zs)),
               np.mean(1 - probs.argmax(-1) == np.asarray(zs)))
     assert acc > 0.9
+
+
+def test_reference_name_aliases():
+    """`latent_var_distr` / `y_distr` / `y_sample` / `simulate_distr` /
+    `prior_init` are thin aliases over predict/simulate (drop-in names from
+    `sgmcmc_sampler.py:956-1123`)."""
+    s = LGSSMSampler(observations=YS, parameters=PARAMS, seed=1)
+    m1, c1 = s.latent_var_distr(kind="marginal", lag=1)
+    m2, c2 = s.predict(target="latent", kind="marginal", lag=1)
+    np.testing.assert_allclose(np.asarray(m1), np.asarray(m2))
+    ym, yc = s.y_distr(kind="marginal")
+    assert yc.shape == (YS.shape[0], 1, 1)
+    draws = s.y_sample(num_samples=2, kind="marginal")
+    assert draws.shape == (2, YS.shape[0], 1)
+    sim = s.simulate_distr(10)
+    assert sim["obs_mean"].shape == (11, 1)
+    p_before = s.parameters
+    p_new = s.prior_init()
+    assert p_new is s.parameters
+    assert float(np.asarray(p_before.A[0, 0])) != float(
+        np.asarray(p_new.A[0, 0]))
