@@ -133,7 +133,7 @@ def run(model_name: str = "svm", T: int = 100, L: int = 16,
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="svm",
-                    choices=["svm", "lgssm", "garch"])
+                    choices=["svm", "svjm", "lgssm", "garch"])
     ap.add_argument("--T", type=int, default=100)
     ap.add_argument("--L", type=int, default=16)
     ap.add_argument("--reps", type=int, default=20)

@@ -252,7 +252,7 @@ def _fused_abg(pv):
 
 def _fused_init(z, prior_mean, prior_var):
     return [prior_mean + jnp.sqrt(prior_var) * z[0],
-            jnp.zeros_like(z[1])]
+            jnp.zeros_like(z[0])]
 
 
 def _fused_propose_optimal(pv, z, x, y_t):
@@ -301,7 +301,7 @@ def _make_fused():
     from ..ops.pallas.fused_pf import FusedModel
     common = dict(n_state=2, n_stat=STATISTIC_DIM, n_param=4,
                   pack_params=_fused_pack, stat=_fused_stat,
-                  init=_fused_init)
+                  init=_fused_init, n_noise=1)
     return (FusedModel(propose=_fused_propose_optimal,
                        reweight=_fused_reweight_optimal, **common),
             FusedModel(propose=_fused_propose_prior,

@@ -372,10 +372,10 @@ def unpack_grad(stat: jax.Array) -> SVJMParams:
 
 
 # --------------------------------------------------------------------------
-# Fused-kernel bundle (bootstrap proposal).  n_state = 2: dim 0 carries x,
-# dim 1 exists only so the kernel receives a second per-step normal, which
-# it thresholds at Phi^{-1}(pJ) (packed outside the kernel) to draw the
-# jump indicator — equal in distribution to Bernoulli(pJ).
+# Fused-kernel bundle (bootstrap proposal).  One carried state dim (x);
+# n_noise = 2: the second per-step normal is thresholded at Phi^{-1}(pJ)
+# (packed outside the kernel) to draw the jump indicator — equal in
+# distribution to Bernoulli(pJ).
 # --------------------------------------------------------------------------
 
 def _fused_pack(params: SVJMParams) -> jax.Array:
@@ -386,14 +386,14 @@ def _fused_pack(params: SVJMParams) -> jax.Array:
 
 
 def _fused_init(z, prior_mean, prior_var):
-    return [prior_mean + jnp.sqrt(prior_var) * z[0], jnp.zeros_like(z[1])]
+    return [prior_mean + jnp.sqrt(prior_var) * z[0]]
 
 
 def _fused_propose(pv, z, x, y_t):
     a, lqinv, _, lqjinv, _, ndtri_pj = pv
     jump = (z[1] < ndtri_pj).astype(z[0].dtype)
     var = 1.0 / (lqinv * lqinv) + jump / (lqjinv * lqjinv)
-    return [a * x[0] + jnp.sqrt(var) * z[0], jnp.zeros_like(x[1])]
+    return [a * x[0] + jnp.sqrt(var) * z[0]]
 
 
 def _fused_reweight(pv, x, x_new, y_t):
@@ -433,10 +433,10 @@ def _fused_stat(pv, x, x_new, y_t):
 
 def _make_fused():
     from ..ops.pallas.fused_pf import FusedModel
-    return FusedModel(n_state=2, n_stat=STATISTIC_DIM, n_param=6,
+    return FusedModel(n_state=1, n_stat=STATISTIC_DIM, n_param=6,
                       pack_params=_fused_pack, propose=_fused_propose,
                       reweight=_fused_reweight, stat=_fused_stat,
-                      init=_fused_init)
+                      init=_fused_init, n_noise=2)
 
 
 FUSED = _make_fused()

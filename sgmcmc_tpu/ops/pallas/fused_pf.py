@@ -49,8 +49,14 @@ class FusedModel:
     * ``reweight(pvec, x, x', y) -> log_w`` — one array.
     * ``stat(pvec, x, x', y) -> h`` — list of H arrays (additive statistic).
     * ``init(z, prior_mean, prior_var) -> x0`` — optional initial state
-      from D standard-normal arrays (default: every dim Gaussian).
-    * ``n_state`` = D, ``n_stat`` = H.
+      from Z standard-normal arrays (default: every dim Gaussian from the
+      first D).
+    * ``n_state`` = D (dims carried and re-gathered through resampling),
+      ``n_stat`` = H, ``n_noise`` = Z (standard normals consumed per step;
+      defaults to D).  Decoupling them matters both ways: SVJM carries one
+      state dim but needs two normals (the second is thresholded into the
+      jump indicator), GARCH carries two dims (x, sigma^2) but consumes
+      one normal (sigma^2 is deterministic).
     """
     n_state: int
     n_stat: int
@@ -60,11 +66,16 @@ class FusedModel:
     reweight: Callable
     stat: Callable
     init: Callable | None = None
+    n_noise: int | None = None
+
+    @property
+    def noise_dims(self) -> int:
+        return self.n_state if self.n_noise is None else self.n_noise
 
     def __hash__(self):
         return hash((self.n_state, self.n_stat, self.n_param,
                      self.pack_params, self.propose, self.reweight,
-                     self.stat, self.init))
+                     self.stat, self.init, self.n_noise))
 
 
 def _max2(x):
@@ -112,12 +123,13 @@ def _fused_window_kernel(model: FusedModel, W: int, s: int, B: int,
                          kernel_rng: bool, qp_merge: int,
                          pvec_ref,      # [CB, P, B] f32 VMEM (lane-replicated)
                          x0_ref,        # [CB, D*s, B] f32 VMEM
-                         normals_ref,   # [CB, W, D*s, B] f32 VMEM, or (with
+                         normals_ref,   # [CB, W, Z*s, B] f32 VMEM, or (with
                                         # kernel_rng) [CB, 1] int32 SMEM seeds
                          aux_ref,       # [CB, 3*W, B] f32 VMEM: rows
                                         # [y_t | w_t | xi_t], lane-replicated
                          out_ref):      # [CB, 1, H+1] f32 VMEM
     D, H = model.n_state, model.n_stat
+    NZ = model.noise_dims
     K = D + H
     CB = x0_ref.shape[0]
     N = s * B
@@ -249,10 +261,10 @@ def _fused_window_kernel(model: FusedModel, W: int, s: int, B: int,
 
         # ---- propose / reweight / statistic update
         if kernel_rng:
-            zfull = _box_muller((CB, D * s, B))
-            z = [zfull[:, d * s:(d + 1) * s, :] for d in range(D)]
+            zfull = _box_muller((CB, NZ * s, B))
+            z = [zfull[:, d * s:(d + 1) * s, :] for d in range(NZ)]
         else:
-            z = [normals_ref[:, t, d * s:(d + 1) * s, :] for d in range(D)]
+            z = [normals_ref[:, t, d * s:(d + 1) * s, :] for d in range(NZ)]
         x_new = model.propose(pv, z, xr, y_t)
         logw_new = model.reweight(pv, xr, x_new, y_t)
         if ess_threshold is not None:
@@ -296,7 +308,7 @@ def _fused_window_kernel(model: FusedModel, W: int, s: int, B: int,
 def fused_window_batched(model: FusedModel,
                          pvec: jax.Array,      # [C, P]
                          x0: jax.Array,        # [C, D*s, B]
-                         normals: jax.Array,   # [C, W, D*s, B], or (with
+                         normals: jax.Array,   # [C, W, Z*s, B], or (with
                                                # kernel_rng) [C] int32 seeds
                          ys: jax.Array,        # [C, W]
                          weights: jax.Array,   # [C, W]
@@ -315,6 +327,7 @@ def fused_window_batched(model: FusedModel,
     s = TWO_LEVEL_S
     B = x0.shape[-1]
     D, H = model.n_state, model.n_stat
+    Z = model.noise_dims
     CB = chain_block
     while C % CB != 0:
         CB //= 2
@@ -330,7 +343,7 @@ def fused_window_batched(model: FusedModel,
                                     memory_space=pltpu.SMEM)
         normals_arg = normals.reshape(C, 1).astype(jnp.int32)
     else:
-        normals_spec = pl.BlockSpec((CB, W, D * s, B),
+        normals_spec = pl.BlockSpec((CB, W, Z * s, B),
                                     lambda i: (i, 0, 0, 0),
                                     memory_space=pltpu.VMEM)
         normals_arg = normals.astype(fdt)
@@ -356,10 +369,11 @@ def fused_window_batched(model: FusedModel,
 
 
 def _pick_fused_chain_block(C: int, W: int, D: int, H: int, B: int,
-                            kernel_rng: bool = False) -> int:
+                            kernel_rng: bool = False, Z: int | None = None
+                            ) -> int:
     """Largest power-of-two chain block whose VMEM footprint fits.
 
-    Per-chain bytes ~ normals [W, D*s, B] (absent with in-kernel RNG) +
+    Per-chain bytes ~ normals [W, Z*s, B] (absent with in-kernel RNG) +
     aux [3W, B] + the step working set (~6 arrays of [(2K+3)s, B]).  The
     12 MB budget admits CB=16 at the flagship SVM config (measured 9%
     faster than CB=8; CB=32 fails to compile) and drops GARCH-sized
@@ -368,7 +382,9 @@ def _pick_fused_chain_block(C: int, W: int, D: int, H: int, B: int,
     CB=64 exceeds VMEM)."""
     s = TWO_LEVEL_S
     K = D + H
-    normals_term = 0 if kernel_rng else W * D * s
+    if Z is None:
+        Z = D
+    normals_term = 0 if kernel_rng else W * Z * s
     cap = 32 if kernel_rng else 16
     per_chain = 4 * B * (normals_term + 3 * W + 6 * (2 * K + 3) * s)
     cb = 1
@@ -394,7 +410,7 @@ def _fused_callable(model: FusedModel, lambduh: float, interpret: bool,
         C, W = ys.shape
         B = x0.shape[-1]
         cb = _pick_fused_chain_block(C, W, model.n_state, model.n_stat, B,
-                                     kernel_rng)
+                                     kernel_rng, model.noise_dims)
         return fused_window_batched(model, pvec, x0, normals, ys, weights,
                                     xi, lambduh=lambduh, chain_block=cb,
                                     interpret=interpret,
@@ -449,15 +465,16 @@ def fused_pf_score(model: FusedModel, key, params, window, step_weights,
     B = n_particles // s
     W = window.shape[0]
     D = model.n_state
+    Z = model.noise_dims
     # scalar-state prior moments may arrive as [1] / [1, 1] arrays
     prior_mean = jnp.asarray(prior_mean, jnp.float32).reshape(-1)[0]
     prior_var = jnp.asarray(prior_var, jnp.float32).reshape(-1)[0]
     k0, kz, kxi = jax.random.split(key, 3)
-    z0 = jax.random.normal(k0, (D * s, B), jnp.float32)
+    z0 = jax.random.normal(k0, (Z * s, B), jnp.float32)
     if model.init is None:
-        x0 = prior_mean + jnp.sqrt(prior_var) * z0
+        x0 = prior_mean + jnp.sqrt(prior_var) * z0[:D * s]
     else:
-        x0_list = model.init([z0[d * s:(d + 1) * s] for d in range(D)],
+        x0_list = model.init([z0[d * s:(d + 1) * s] for d in range(Z)],
                              prior_mean, prior_var)
         x0 = jnp.concatenate(x0_list, axis=0)
     # interpret mode (CPU tests) has no prng_seed lowering — the host path
@@ -466,7 +483,7 @@ def fused_pf_score(model: FusedModel, key, params, window, step_weights,
     if kernel_rng:
         normals = jax.random.bits(kz, (), jnp.uint32).astype(jnp.int32)
     else:
-        normals = jax.random.normal(kz, (W, D * s, B), jnp.float32)
+        normals = jax.random.normal(kz, (W, Z * s, B), jnp.float32)
     xi = jax.random.uniform(kxi, (W,), jnp.float32)
     pvec = model.pack_params(params).astype(jnp.float32)
     ys = window.reshape(W).astype(jnp.float32)
