@@ -609,9 +609,10 @@ class Sampler:
             return float(lgssm_mod.predictive_loglikelihood(
                 self.parameters, self.observations, lag=lag))
         from ..models import garch as garch_mod
+        from ..models import svjm as svjm_mod
         from ..models import svm as svm_mod
         from ..ops.buffered import run_buffered_pf
-        mod = svm_mod if m.name == "svm" else garch_mod
+        mod = {"svm": svm_mod, "svjm": svjm_mod}.get(m.name, garch_mod)
         stat_fn = mod.make_predictive_stat_fn(self.observations,
                                               num_steps_ahead)
         cache_key = ("pred_ll", num_steps_ahead, N)

@@ -81,6 +81,54 @@ def noisy_logjoint_loglike_metric(**kwargs) -> Callable:
     return metric_fn
 
 
+def metric_function_from_sampler(sampler_func_name: str,
+                                 metric_name: str | None = None,
+                                 return_variable_name: str = "sampler",
+                                 **sampler_func_kwargs) -> Callable:
+    """Generic metric = the value of a named sampler method
+    (`metric_function_from_sampler`, `metric_functions.py:179-203`).
+
+    Example: ``metric_function_from_sampler("exact_loglikelihood")``.
+    """
+    if metric_name is None:
+        metric_name = sampler_func_name
+
+    def metric_fn(sampler):
+        func = getattr(sampler, sampler_func_name, None)
+        if func is None:
+            raise ValueError(
+                f"sampler has no method '{sampler_func_name}'")
+        return dict(variable=return_variable_name, metric=metric_name,
+                    value=float(func(**sampler_func_kwargs)))
+
+    return metric_fn
+
+
+def noisy_predictive_logjoint_loglike_metric(num_steps_ahead: int,
+                                             kind: str = "marginal",
+                                             metric_name_prefix: str = "",
+                                             **kwargs) -> Callable:
+    """k-step predictive-loglikelihood rows
+    (`noisy_predictive_logjoint_loglike_metric`,
+    `metric_functions.py:383-416`): on the PF path one row per horizon
+    (slot 0 = the filter loglikelihood); on the exact path a single row."""
+    names = [f"{metric_name_prefix}{ii}_pred_loglikelihood"
+             for ii in range(num_steps_ahead + 1)]
+
+    def metric_fn(sampler):
+        res = sampler.predictive_loglikelihood(
+            num_steps_ahead=num_steps_ahead, lag=num_steps_ahead,
+            kind=kind, **kwargs)
+        if kind == "pf":
+            return [dict(variable="sampler", metric=names[ii],
+                         value=float(res[ii]))
+                    for ii in range(num_steps_ahead + 1)]
+        return [dict(variable="sampler", metric=names[-1],
+                     value=float(res))]
+
+    return metric_fn
+
+
 def metric_compare_x(true_x, metric: str = "rmse") -> Callable:
     """Latent-path recovery error (`metric_compare_x`,
     `metric_functions.py:440-456`); requires the sampler to expose

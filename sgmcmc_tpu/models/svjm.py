@@ -361,6 +361,41 @@ def suff_statistic(params: SVJMParams, x_t, x_next, y_next, t):
     return jnp.stack([x1, x1 * x1, x0 * x1], axis=-1)
 
 
+def make_predictive_stat_fn(observations, num_steps_ahead: int,
+                            n_mc: int = 1, base_key=None):
+    """k-step-ahead predictive loglikelihood statistic (the SVM's
+    `svm_predictive_loglikelihood` protocol, `svm/helper.py:352-395`,
+    with the jump-diffusion moment recursion: Var[x_{t+1}] =
+    A^2 Var[x_t] + Q + pJ*QJ)."""
+    T = observations.shape[0]
+    if base_key is None:
+        base_key = jax.random.PRNGKey(0)
+
+    def stat_fn(params, x_t, x_next, y_next, t):
+        N = x_next.shape[0]
+        a, R = params.a, params.R
+        q_step = params.Q + params.pJ * params.QJ
+        out = []
+        x_mean = x_next[:, 0]
+        x_var = jnp.zeros(())
+        for k in range(num_steps_ahead + 1):
+            tk = jnp.clip(t + k, 0, T - 1)
+            in_range = (t + k < T).astype(x_mean.dtype)
+            y_tk = observations[tk, 0]
+            z = jax.random.normal(jax.random.fold_in(base_key, 7919 * k + 1),
+                                  (N, n_mc), x_mean.dtype)
+            x_mc = x_mean[:, None] + jnp.sqrt(x_var) * z
+            y_var = R * jnp.exp(x_mc)
+            ll = jnp.mean(-0.5 * y_tk ** 2 / y_var
+                          - 0.5 * _LOG_2PI - 0.5 * jnp.log(y_var), axis=1)
+            out.append(in_range * ll)
+            x_mean = a * x_mean
+            x_var = q_step + a * a * x_var
+        return jnp.stack(out, axis=-1)
+
+    return stat_fn
+
+
 def unpack_grad(stat: jax.Array) -> SVJMParams:
     return SVJMParams(
         A=stat[2].reshape(1, 1),

@@ -99,3 +99,32 @@ def test_ks_test_traces():
     diff = ks_test_traces(t1, t3, ["A"])
     assert same[0]["pvalue"] > 0.01
     assert diff[0]["pvalue"] < 0.01
+
+
+def test_metric_function_from_sampler_and_predictive_metric():
+    """Generic sampler-method metric + k-step predictive rows
+    (`metric_functions.py:179-203, 383-416`)."""
+    import jax
+    from sgmcmc_tpu.inference.samplers import LGSSMSampler, SVMSampler
+    from sgmcmc_tpu.metrics.metric_functions import (
+        metric_function_from_sampler, noisy_predictive_logjoint_loglike_metric)
+    from sgmcmc_tpu.models import lgssm as lgssm_mod
+    from sgmcmc_tpu.models import svm as svm_mod
+
+    p = lgssm_mod.from_matrices(A=[[0.9]], C=[[1.0]], Q=[[0.5]], R=[[1.0]],
+                                dtype=jnp.float64)
+    ys, _ = lgssm_mod.generate_data(jax.random.PRNGKey(0), p, 50)
+    s = LGSSMSampler(observations=np.asarray(ys), parameters=p, seed=0)
+    row = metric_function_from_sampler("exact_loglikelihood")(s)
+    assert row["metric"] == "exact_loglikelihood"
+    assert np.isfinite(row["value"])
+    rows = noisy_predictive_logjoint_loglike_metric(3, kind="marginal")(s)
+    assert len(rows) == 1 and np.isfinite(rows[0]["value"])
+
+    sp = svm_mod.from_scalars(A=0.9, Q=0.5, R=1.0, dtype=jnp.float64)
+    ys2, _ = svm_mod.generate_data(jax.random.PRNGKey(1), sp, 50)
+    s2 = SVMSampler(observations=np.asarray(ys2), parameters=sp, seed=0)
+    rows2 = noisy_predictive_logjoint_loglike_metric(
+        2, kind="pf", N=64, resample_mode="gather")(s2)
+    assert len(rows2) == 3
+    assert all(np.isfinite(r["value"]) for r in rows2)

@@ -154,3 +154,39 @@ def test_exact_logjoint_and_precondition_sgd_and_custom():
     ])
     for leaf in jax.tree_util.tree_leaves(s.parameters):
         assert np.all(np.isfinite(np.asarray(leaf)))
+
+
+def test_fit_timed_records_trace_and_times():
+    """`fit_timed` (`sgmcmc_sampler.py:723`): wall-clock budget, thinned
+    parameter trace aligned with elapsed times."""
+    true = lgssm_mod.from_matrices(A=[[0.9]], C=[[1.0]], Q=[[0.5]],
+                                   R=[[1.0]], dtype=jnp.float64)
+    ys, _ = lgssm_mod.generate_data(jax.random.PRNGKey(3), true, 64)
+    s = LGSSMSampler(observations=np.asarray(ys), parameters=true, seed=0)
+    plist, times = s.fit_timed("SGD", max_time=1.0, epsilon=1e-4,
+                               kind="marginal", subsequence_length=16,
+                               buffer_length=2)
+    assert len(plist) == len(times) >= 2
+    assert times == sorted(times)
+    assert all(np.all(np.isfinite(np.asarray(l)))
+               for l in jax.tree_util.tree_leaves(plist[-1]))
+
+
+def test_fit_evaluate_records_metrics():
+    """`fit_evaluate` (`sgmcmc_sampler.py:757-894`): inline evaluator rows
+    at eval_freq intervals of sampler time."""
+    from sgmcmc_tpu.metrics.metric_functions import (
+        noisy_logjoint_loglike_metric)
+
+    true = lgssm_mod.from_matrices(A=[[0.9]], C=[[1.0]], Q=[[0.5]],
+                                   R=[[1.0]], dtype=jnp.float64)
+    ys, _ = lgssm_mod.generate_data(jax.random.PRNGKey(4), true, 64)
+    s = LGSSMSampler(observations=np.asarray(ys), parameters=true, seed=0)
+    ev = s.fit_evaluate(
+        "SGD", max_time=0.8, epsilon=1e-4, eval_freq=0.2,
+        metric_functions=[noisy_logjoint_loglike_metric(
+            kind="marginal", subsequence_length=16, buffer_length=2)],
+        kind="marginal", subsequence_length=16, buffer_length=2)
+    df = ev.get_metrics()
+    assert len(df) >= 2
+    assert np.all(np.isfinite(df["value"].to_numpy(float)))
