@@ -136,11 +136,17 @@ def main():
     for method, (params_list, _) in results.items():
         burn = len(params_list) // 3
         stacked = stack_trace(params_list[burn:])
-        if args.model == "svm":
+        if args.model in ("svm", "svjm"):
             phi = float(np.mean(stacked.A[:, 0, 0]))
             sigma = float(np.mean(1.0 / np.abs(stacked.LQinv_vec[:, 0])))
             tau = float(np.mean(1.0 / np.abs(stacked.LRinv_vec[:, 0])))
-            print(f"{method}: phi={phi:.4f} sigma={sigma:.4f} tau={tau:.4f}")
+            line = f"{method}: phi={phi:.4f} sigma={sigma:.4f} tau={tau:.4f}"
+            if args.model == "svjm":
+                pj = float(np.mean(1.0 / (1.0 + np.exp(
+                    -stacked.logit_pJ[:, 0]))))
+                sj = float(np.mean(1.0 / np.abs(stacked.LQJinv_vec[:, 0])))
+                line += f" pJ={pj:.4f} sigmaJ={sj:.4f}"
+            print(line)
         else:
             mu = float(np.mean(np.exp(stacked.log_mu[:, 0])))
             print(f"{method}: mu={mu:.4f}")
