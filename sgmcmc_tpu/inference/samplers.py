@@ -564,8 +564,8 @@ class Sampler:
                     return np.asarray(m.latent_var_sample(
                         self.parameters, self.next_key(),
                         self.observations))
-                return np.asarray(m.latent_var_distr(self.parameters,
-                                                     self.observations))
+                return np.asarray(m.latent_var_distr(
+                    self.parameters, self.observations, lag=lag))
             raise NotImplementedError(
                 f"{m.name} has no analytic predict for target='{target}'")
         # PF path: full-sequence elementwise sufficient statistics

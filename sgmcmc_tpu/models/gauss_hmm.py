@@ -197,13 +197,14 @@ def windowed_marginal_gradient(params: GaussHMMParams, window, valid,
 
 
 def latent_var_distr(params, observations, forward_msg=None,
-                     backward_msg=None):
+                     backward_msg=None, lag=None):
     logP = emission_logliks(params, observations)
     if forward_msg is None:
         forward_msg = default_forward_message(params)
     if backward_msg is None:
         backward_msg = default_backward_message(params)
-    return hmm.latent_var_distr(logP, params.pi, forward_msg, backward_msg)
+    return hmm.latent_var_distr(logP, params.pi, forward_msg, backward_msg,
+                                lag=lag)
 
 
 def latent_var_sample(params, key, observations, forward_msg=None,

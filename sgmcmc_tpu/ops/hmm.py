@@ -170,11 +170,49 @@ def posterior_marginals(logP, Pi, forward_msg, backward_msg):
     return joint, marg
 
 
-def latent_var_distr(logP, Pi, forward_msg, backward_msg):
-    """Smoothed Pr(z_t | y) via log-space fusion (`hmm_helper.py:214-224`)."""
+def latent_var_distr(logP, Pi, forward_msg, backward_msg, lag=None):
+    """Pr(z_t | y_{<= t+lag}) (`hmm_helper.py:200-273` latent_var_distr).
+
+    ``lag=None`` smoothed (log-space fusion, `hmm_helper.py:214-224`);
+    ``lag=0`` filtered; ``lag<0`` the filtered distribution at t+lag
+    propagated ``-lag`` steps through Pi (prediction); ``lag>0`` fixed-lag
+    smoothing via validity-masked backward windows over y_{t+1..t+lag}
+    (fixed shapes under jit, like the LGSSM's `kalman.lagged_moments`).
+    The lag origin matches this framework's LGSSM convention — lag=0 is
+    the *filtered* p(z_t | y_{<=t}); the reference's indexing is shifted
+    one observation earlier.
+    """
+    T, K = logP.shape
     fwd = forward_messages(logP, Pi, forward_msg)
-    bwd = backward_messages(logP, Pi, backward_msg)
-    logp = jnp.log(fwd.prob[1:] + 1e-300) + jnp.log(bwd.prob[1:] + 1e-300)
+    if lag is None:
+        bwd = backward_messages(logP, Pi, backward_msg)
+        logp = jnp.log(fwd.prob[1:] + 1e-300) + jnp.log(bwd.prob[1:]
+                                                        + 1e-300)
+        logp = logp - jnp.max(logp, axis=-1, keepdims=True)
+        p = jnp.exp(logp)
+        return p / jnp.sum(p, axis=-1, keepdims=True)
+    lag = int(lag)
+    if lag == 0:
+        return fwd.prob[1:]
+    if lag < 0:
+        idx = jnp.clip(jnp.arange(T) + 1 + lag, 0, T)
+        base = fwd.prob[idx]                              # [T, K]
+        for _ in range(-lag):
+            base = base @ Pi
+        return base / jnp.sum(base, axis=-1, keepdims=True)
+
+    # fixed-lag: filtered_t * P(y_{t+1..t+lag} | z_t), windows masked at
+    # the end of the sequence
+    t_idx = jnp.arange(T)[:, None] + 1 + jnp.arange(lag)[None, :]  # [T, lag]
+    valid = (t_idx < T).astype(logP.dtype)
+    win_logP = logP[jnp.clip(t_idx, 0, T - 1)]            # [T, lag, K]
+
+    def one_window(wlogP, v):
+        msg = backward_messages(wlogP, Pi, backward_msg, valid=v)
+        return msg.prob[0]
+
+    bprob = jax.vmap(one_window)(win_logP, valid)         # [T, K]
+    logp = jnp.log(fwd.prob[1:] + 1e-300) + jnp.log(bprob + 1e-300)
     logp = logp - jnp.max(logp, axis=-1, keepdims=True)
     p = jnp.exp(logp)
     return p / jnp.sum(p, axis=-1, keepdims=True)

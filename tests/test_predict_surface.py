@@ -141,3 +141,52 @@ def test_reference_name_aliases():
     assert p_new is s.parameters
     assert float(np.asarray(p_before.A[0, 0])) != float(
         np.asarray(p_new.A[0, 0]))
+
+
+def test_hmm_lag_modes():
+    """HMM latent_var_distr lag modes (`hmm_helper.py:200-273`):
+    lag=0 filtered == forward messages; large lag == smoothed; lag<0
+    propagates the filtered distribution through Pi."""
+    from sgmcmc_tpu.models import gauss_hmm
+    from sgmcmc_tpu.ops import hmm as hmm_ops
+
+    prms = gauss_hmm.from_values(
+        pi=[[0.9, 0.1], [0.2, 0.8]], mu=[[-2.0], [2.0]],
+        R=[[[0.3]], [[0.3]]], dtype=jnp.float64)
+    ys, _ = gauss_hmm.generate_data(jax.random.PRNGKey(2), prms, 30)
+    T = ys.shape[0]
+
+    smoothed = gauss_hmm.latent_var_distr(prms, ys)
+    filt = gauss_hmm.latent_var_distr(prms, ys, lag=0)
+    logP = gauss_hmm.emission_logliks(prms, ys)
+    fwd = hmm_ops.forward_messages(logP, prms.pi,
+                                   gauss_hmm.default_forward_message(prms))
+    np.testing.assert_allclose(np.asarray(filt), np.asarray(fwd.prob[1:]),
+                               rtol=1e-12)
+
+    # a lag covering the whole remaining sequence reproduces smoothing
+    full_lag = gauss_hmm.latent_var_distr(prms, ys, lag=T)
+    np.testing.assert_allclose(np.asarray(full_lag), np.asarray(smoothed),
+                               rtol=1e-8, atol=1e-10)
+
+    # small fixed lag lies between filtered and smoothed at the start,
+    # and the rows are normalized
+    lag2 = gauss_hmm.latent_var_distr(prms, ys, lag=2)
+    np.testing.assert_allclose(lag2.sum(-1), 1.0, rtol=1e-10)
+    # fixed-lag(2) must equal smoothed for t >= T-1-2 ... exactly at the
+    # tail where the window covers everything remaining
+    np.testing.assert_allclose(np.asarray(lag2[-1]),
+                               np.asarray(smoothed[-1]), rtol=1e-8)
+
+    pred = gauss_hmm.latent_var_distr(prms, ys, lag=-1)
+    manual = np.asarray(fwd.prob[:-1] @ np.asarray(prms.pi))
+    np.testing.assert_allclose(np.asarray(pred),
+                               manual / manual.sum(-1, keepdims=True),
+                               rtol=1e-10)
+
+    # Sampler.predict passes lag through for discrete models
+    from sgmcmc_tpu.inference.samplers import GaussHMMSampler
+    s = GaussHMMSampler(observations=np.asarray(ys), num_states=2, m=1,
+                        parameters=prms, seed=0)
+    probs = s.predict(target="latent", kind="marginal", lag=0)
+    np.testing.assert_allclose(probs, np.asarray(filt), rtol=1e-10)
