@@ -221,3 +221,26 @@ def test_seq_predict_and_predictive_loglikelihood():
     pll_sub = s.predictive_loglikelihood(num_sequences=2, N=64,
                                          num_steps_ahead=2)
     assert np.all(np.isfinite(pll_sub))
+
+
+def test_seq_svjm_sampler_runs():
+    """SeqSVJMSampler: the jump model through the multi-sequence mixin."""
+    import jax
+    import numpy as np
+    from sgmcmc_tpu.inference.samplers import SeqSVJMSampler
+    from sgmcmc_tpu.models import svjm
+
+    true = svjm.from_scalars(A=0.9, Q=0.5, R=1.0, pJ=0.1, QJ=2.0)
+    seqs = [np.asarray(svjm.generate_data(
+        jax.random.PRNGKey(i), true, 40 + 8 * i)[0]) for i in range(3)]
+    s = SeqSVJMSampler(seqs, seed=5, parameters=true)
+    for _ in range(2):
+        s.sample_sgld(epsilon=1e-3, N=64, subsequence_length=16,
+                      buffer_length=4, num_sequences=1,
+                      resample_mode="gather")
+        s.project_parameters()
+    leaves = jax.tree_util.tree_leaves(s.parameters)
+    assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
+    ll = s.noisy_loglikelihood(N=64, subsequence_length=16, buffer_length=4,
+                               resample_mode="gather")
+    assert np.isfinite(ll)
