@@ -535,7 +535,7 @@ def build_parser():
         fromfile_prefix_chars="@")
     parser.add_argument("--path", default="./experiment")
     parser.add_argument("--model", default="svm",
-                        choices=["svm", "lgssm", "garch"])
+                        choices=["svm", "svjm", "lgssm", "garch"])
     parser.add_argument("--experiment_id", type=int, default=-1)
     parser.add_argument("--setup", action="store_true")
     parser.add_argument("--make_scripts", action="store_true")
