@@ -20,6 +20,27 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def initialize_multi_host(coordinator_address: str | None = None,
+                          num_processes: int | None = None,
+                          process_id: int | None = None) -> Mesh:
+    """Bootstrap a multi-host run and return the global (chain, particle=1)
+    mesh.
+
+    Thin wrapper over `jax.distributed.initialize` (SURVEY.md §2.4: the
+    chain axis spans hosts over DCN with zero communication, so the
+    default global mesh puts every chip on the chain axis).  On TPU pods
+    all arguments are auto-detected from the environment; pass them
+    explicitly elsewhere.  Call once per process before any jax
+    computation; then build custom meshes with `make_mesh` if particle
+    sharding is wanted.
+    """
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
+    return make_mesh(n_chain_devices=len(jax.devices()),
+                     n_particle_devices=1)
+
+
 def make_mesh(n_chain_devices: int | None = None,
               n_particle_devices: int = 1,
               devices=None) -> Mesh:
