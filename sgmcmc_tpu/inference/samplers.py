@@ -169,6 +169,13 @@ class Sampler:
             _, loglik = self._grad_fn(kind="marginal", **kwargs)(
                 self.next_key(), self.parameters, self.observations)
             return float(loglik)
+        if kind == "complete":
+            # FFBS-draw complete-data loglikelihood over the window
+            # (`noisy_loglikelihood` kind='complete',
+            # `sgmcmc_sampler.py:175-210`)
+            _, loglik = self._grad_fn(kind="complete", **kwargs)(
+                self.next_key(), self.parameters, self.observations)
+            return float(loglik)
         _, loglik = self._loglik_fn(**kwargs)(
             self.next_key(), self.parameters, self.observations)
         return float(loglik)

@@ -141,3 +141,24 @@ def test_gauss_hmm_scir_sgld():
     np.testing.assert_allclose(pi.sum(axis=1), 1.0, rtol=1e-6)
     assert np.all(pi > 0)
     assert np.all(np.isfinite(np.asarray(s.parameters.mu)))
+
+
+def test_noisy_loglikelihood_kind_complete():
+    """kind='complete' = complete-data loglikelihood at an FFBS draw
+    (`sgmcmc_sampler.py:175-210`): stochastic, finite, and below the
+    marginal loglikelihood in expectation (Jensen)."""
+    import numpy as np
+    from sgmcmc_tpu.inference.samplers import LGSSMSampler
+    from sgmcmc_tpu.models import lgssm
+
+    p = lgssm.from_matrices(A=[[0.9]], C=[[1.0]], Q=[[0.5]], R=[[1.0]],
+                            dtype=jnp.float64)
+    ys, _ = lgssm.generate_data(jax.random.PRNGKey(0), p, 80)
+    s = LGSSMSampler(observations=np.asarray(ys), parameters=p, seed=0)
+    lls = np.array([s.noisy_loglikelihood(kind="complete",
+                                          subsequence_length=20,
+                                          buffer_length=4)
+                    for _ in range(8)])
+    assert np.all(np.isfinite(lls))
+    assert lls.std() > 0.0
+    assert lls.mean() < s.exact_loglikelihood()
