@@ -129,3 +129,29 @@ def test_distributed_fit_moves_toward_truth(mesh):
     # chains differ (different keys) and drift toward truth 0.9 from 0.2
     assert A_final.std() > 0
     assert A_final.mean() > 0.5, A_final
+
+
+def test_initialize_multi_host_single_process():
+    """`initialize_multi_host` bootstraps jax.distributed and returns the
+    global chain mesh (run in a subprocess — the distributed client is
+    process-global state)."""
+    import subprocess
+    import sys
+
+    code = (
+        "import os;"
+        "os.environ['XLA_FLAGS']='--xla_force_host_platform_device_count=4';"
+        "import jax; jax.config.update('jax_platforms','cpu');"
+        "from sgmcmc_tpu.parallel.sharding import initialize_multi_host;"
+        "mesh = initialize_multi_host("
+        "coordinator_address='localhost:12431', num_processes=1,"
+        "process_id=0);"
+        "assert dict(mesh.shape) == {'chain': 4, 'particle': 1};"
+        "assert jax.process_count() == 1;"
+        "print('ok')")
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, timeout=240,
+                         env={**__import__('os').environ,
+                              "JAX_PLATFORMS": ""})
+    assert out.returncode == 0, out.stderr
+    assert "ok" in out.stdout
