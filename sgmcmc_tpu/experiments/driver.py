@@ -407,13 +407,39 @@ def do_eval_ksd(args, options):
     sampler = Sampler(model, observations=jnp.asarray(data["observations"]),
                       seed=options.get("seed", 0),
                       parameters=params_list[0])
-    grads = []
     grad_kwargs = dict(N=args.ksd_N, subsequence_length=-1, is_scaled=False)
     if not model.has_pf:
         grad_kwargs["kind"] = "marginal"
-    for q in params_list:
-        sampler.parameters = q
-        grads.append(sampler.noisy_gradient(**grad_kwargs))
+
+    # KSD grad state is checkpointed and resumable, mirroring the
+    # reference's KSD-state protocol (`svm/driver.py:968-999, 1068-1075`):
+    # accumulated scores + cursor, saved every few samples; ``ksd_passes``
+    # cycles over the trace averaging away PF score noise
+    # (`svm/driver.py:1006-1022`).
+    passes = getattr(args, "ksd_passes", 1) or 1
+    state_path = os.path.join(p["scratch"],
+                              f"ksd_{options['experiment_id']}_state.p")
+    n_tasks = passes * len(params_list)
+    if os.path.exists(state_path):
+        state = ckpt.load_pickle(state_path)
+        grad_sums, cur = state["grad_sums"], state["cur_index"]
+        logger.info("ksd %s: resuming at %d/%d",
+                    options["experiment_id"], cur, n_tasks)
+    else:
+        grad_sums, cur = [None] * len(params_list), 0
+    for task in range(cur, n_tasks):
+        i = task % len(params_list)
+        sampler.parameters = params_list[i]
+        g = sampler.noisy_gradient(**grad_kwargs)
+        grad_sums[i] = g if grad_sums[i] is None else jax.tree_util.tree_map(
+            lambda a, b: a + b, grad_sums[i], g)
+        if (task + 1) % 20 == 0:
+            ckpt.save_pickle(state_path, dict(grad_sums=grad_sums,
+                                              cur_index=task + 1))
+    grads = [jax.tree_util.tree_map(lambda a: a / passes, g)
+             for g in grad_sums]
+    if os.path.exists(state_path):
+        os.remove(state_path)
     variables = KSD_VARIABLES[options["model"]]
     # reparameterize (theta, score) pairs into the natural trace-eval
     # coordinates (`convert_gradient`, `svm/driver.py:1014-1049`)
@@ -557,6 +583,9 @@ def build_parser():
     parser.add_argument("--eval_N", type=int, default=1000)
     parser.add_argument("--ksd_N", type=int, default=1000)
     parser.add_argument("--max_ksd_samples", type=int, default=100)
+    parser.add_argument("--ksd_passes", type=int, default=1,
+                        help="cycling passes over the trace, averaging "
+                             "the PF score noise (svm/driver.py:1006)")
     parser.add_argument("--script_splits", type=int, default=1)
     parser.add_argument("--no_resume", action="store_true")
     return parser

@@ -138,3 +138,35 @@ def test_convert_gradient_exact_chain_rule():
     gtau = jax.grad(lambda t: (1.0 / t) ** 2)(jnp.float64(valsg.tau[0]))
     np.testing.assert_allclose(gng.tau[0], float(gtau), rtol=1e-10)
     np.testing.assert_allclose(gng.log_mu, np.ravel(np.asarray(gg.log_mu)))
+
+
+def test_ksd_state_resume(exp_dir):
+    """KSD grad state checkpoints and resumes (the reference's KSD-state
+    protocol, `svm/driver.py:968-999, 1068-1075`): a pre-existing state
+    with a huge stored score must survive into the averaged output."""
+    import jax
+    import jax.numpy as jnp
+
+    from sgmcmc_tpu.io import checkpoint as ckpt
+    from sgmcmc_tpu.models import svm
+
+    args = make_args(exp_dir, max_time=3.0, eval_N=64, ksd_N=32,
+                     num_to_eval=3, max_ksd_samples=5, ksd_passes=1)
+    options = ckpt.load_pickle(os.path.join(exp_dir, "in", "options.p"))
+    o = options[0]
+    trace = ckpt.load_trace(os.path.join(
+        exp_dir, "out", "fit", f"{o['experiment_id']}_parameters.p"))
+    plist = trace["parameters_list"]
+    n = min(5, len(plist) - len(plist) // 3)
+    big = svm.SVMParams(A=jnp.full((1, 1), 1e6),
+                        LQinv_vec=jnp.full((1,), 1e6),
+                        LRinv_vec=jnp.full((1,), 1e6))
+    state_path = os.path.join(exp_dir, "scratch",
+                              f"ksd_{o['experiment_id']}_state.p")
+    ckpt.save_pickle(state_path,
+                     dict(grad_sums=[big] + [None] * (n - 1), cur_index=1))
+    driver.do_eval_ksd(args, o)
+    csv = pd.read_csv(os.path.join(
+        exp_dir, "out", "trace_eval", f"{o['experiment_id']}_ksd.csv"))
+    assert float(csv["value"].max()) > 1e4   # the stored score dominated
+    assert not os.path.exists(state_path)    # cleaned up on completion
