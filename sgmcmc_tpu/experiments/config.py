@@ -81,4 +81,6 @@ def sampler_kwargs(options: dict) -> dict:
         kw["lambduh"] = options["lambduh"]
     if options.get("Ntilde") is not None:
         kw["Ntilde"] = options["Ntilde"]
+    if options.get("bw_chunk") is not None:
+        kw["bw_chunk"] = options["bw_chunk"]
     return kw

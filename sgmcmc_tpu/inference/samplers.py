@@ -83,6 +83,7 @@ class Sampler:
             partition_style=kwargs.get("partition_style", "uniform"),
             ess_threshold=kwargs.get("ess_threshold", None),
             rng=kwargs.get("rng", "host"),
+            bw_chunk=kwargs.get("bw_chunk", None),
         )
 
     def _default_kind(self) -> str:

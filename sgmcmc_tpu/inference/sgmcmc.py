@@ -73,6 +73,12 @@ class PFScoreConfig:
     # ESS-adaptive resampling: resample only when ESS < ess_threshold * N.
     # None (the parity default) resamples every step, as the reference does.
     ess_threshold: float | None = None
+    # Row-chunk size for the dense [N, N] backward-weight smoothers
+    # (poyiadjis_N2, paris): streams the contraction in blocks of this many
+    # rows — O(bw_chunk * N) live memory instead of O(N^2) for large N
+    # (e.g. the reference's N=1e4-1e6 ground-truth / KSD configs).  None
+    # materializes the full matrix; chunking changes only GEMM tiling.
+    bw_chunk: int | None = None
     # 'kernel' generates proposal normals inside the fused Pallas kernel
     # (hardware PRNG; saves the [W, D*s, B]-per-chain HBM stream).  Only
     # affects the fused path; 'host' keeps key-deterministic draws.
@@ -155,7 +161,7 @@ def make_pf_score_fn(kernel: ParticleKernel, stat_fn: StatisticFn,
             prior_mean=prior_mean, prior_var=prior_var,
             resampler=config.resampler, resample_mode=config.resample_mode,
             lambduh=config.lambduh, n_tilde=config.n_tilde,
-            ess_threshold=config.ess_threshold)
+            ess_threshold=config.ess_threshold, bw_chunk=config.bw_chunk)
         return out.mean_statistic, out.loglikelihood
 
     def score_fn(key, params, observations):
@@ -248,7 +254,8 @@ def make_seq_pf_score_fn(kernel: ParticleKernel, stat_fn: StatisticFn,
             smoother=config.smoother, step_weights=step_w, in_window=in_win,
             prior_mean=pm, prior_var=pv, resampler=config.resampler,
             resample_mode=config.resample_mode, lambduh=config.lambduh,
-            n_tilde=config.n_tilde, ess_threshold=config.ess_threshold)
+            n_tilde=config.n_tilde, ess_threshold=config.ess_threshold,
+            bw_chunk=config.bw_chunk)
         return out.mean_statistic, out.loglikelihood
 
     def score_fn(key, params, observations):

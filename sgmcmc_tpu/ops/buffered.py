@@ -77,6 +77,7 @@ def run_buffered_pf(
         window_length: int | None = None,
         save_all: bool = False,
         ess_threshold: float | None = None,
+        bw_chunk: int | None = None,
 ) -> PFOutput:
     """Run ``W`` steps of a buffered particle smoother over one window.
 
@@ -106,7 +107,8 @@ def run_buffered_pf(
                               resampler_name=resampler, lambduh=lambduh,
                               n_tilde=n_tilde, logsumexp_mode=logsumexp_mode,
                               resample_mode=resample_mode,
-                              ess_threshold=ess_threshold)
+                              ess_threshold=ess_threshold,
+                              bw_chunk=bw_chunk)
 
     key_init, key_steps = jax.random.split(key)
     x0 = kernel.sample_x0(params, key_init, n_particles, prior_mean, prior_var)

@@ -224,15 +224,33 @@ def _backward_log_weights(kernel: ParticleKernel, params, particles,
     return jax.vmap(row)(new_particles)      # [N, N]
 
 
+def _bw_row_chunks(bw_chunk: int | None, n: int):
+    """Validated row-chunk count for streaming the [N, N] backward-weight
+    smoothers (None / >= N means one dense materialization)."""
+    if bw_chunk is None or bw_chunk >= n:
+        return 1
+    if n % bw_chunk != 0:
+        raise ValueError(
+            f"bw_chunk={bw_chunk} must divide n_particles={n}")
+    return n // bw_chunk
+
+
 def make_poyiadjis_n2_step(kernel: ParticleKernel, stat_fn: StatisticFn,
                            resampler_name: str = "multinomial",
                            resample_mode: str = "gather",
-                           ess_threshold: float | None = None):
+                           ess_threshold: float | None = None,
+                           bw_chunk: int | None = None):
     """Poyiadjis et al. (2011) O(N^2) smoother step (`pf.py:84-136`).
 
     new_stats[i] = sum_j BW[i,j] * (stats[j] + h(x_j, x'_i)); the stats term
     is a dense [N,N]@[N,H] matmul on the MXU, the pairwise-h term a
     contraction over a vmapped [N,N,H] statistic tensor.
+
+    ``bw_chunk`` streams the contraction in row blocks of that size via
+    `lax.map` — O(bw_chunk * N) live memory instead of O(N^2), the
+    large-N (>= 1e4) regime the reference runs for ground-truth gradients
+    (`svm_grad_compare.py:75`).  Row softmax and contraction are row-local,
+    so chunked output matches the dense path up to GEMM reduction order.
     """
     resampler = get_resampler(resampler_name)
 
@@ -245,23 +263,37 @@ def make_poyiadjis_n2_step(kernel: ParticleKernel, stat_fn: StatisticFn,
             parents, particles, log_w, _ = _propagate_apply(
                 kernel, resampler_name, resample_mode, params, inp.key,
                 carry.particles, carry.log_weights, None, inp.y, ess_threshold)
-        log_bw = _backward_log_weights(kernel, params, carry.particles,
-                                       carry.log_weights, particles)
-        bw = jax.nn.softmax(log_bw, axis=-1)                     # [N, N]
         scale = inp.weight * inp.in_window
+        n = particles.shape[0]
+        n_chunks = _bw_row_chunks(bw_chunk, n)
 
-        # sum_j bw[i,j] * stats[j]  -> MXU matmul
-        smoothed = bw @ carry.statistics                          # [N, H]
+        def rows_to_stats(x_next_c):
+            """[C, D] new-particle rows -> [C, H] smoothed statistics."""
+            log_bw = _backward_log_weights(kernel, params, carry.particles,
+                                           carry.log_weights, x_next_c)
+            bw = jax.nn.softmax(log_bw, axis=-1)              # [C, N]
 
-        # sum_j bw[i,j] * h(x_j, x'_i)
-        def h_row(x_next_i, bw_row):
-            x_next_b = jnp.broadcast_to(x_next_i[None, :], carry.particles.shape)
-            h = stat_fn(params, carry.particles, x_next_b,
-                        inp.y, inp.t)                             # [N, H]
-            return bw_row @ h                                     # [H]
+            # sum_j bw[i,j] * stats[j]  -> MXU matmul
+            smoothed = bw @ carry.statistics                  # [C, H]
 
-        h_term = jax.vmap(h_row)(particles, bw)                   # [N, H]
-        stats = smoothed + scale * h_term
+            # sum_j bw[i,j] * h(x_j, x'_i)
+            def h_row(x_next_i, bw_row):
+                x_next_b = jnp.broadcast_to(x_next_i[None, :],
+                                            carry.particles.shape)
+                h = stat_fn(params, carry.particles, x_next_b,
+                            inp.y, inp.t)                     # [N, H]
+                return bw_row @ h                             # [H]
+
+            h_term = jax.vmap(h_row)(x_next_c, bw)            # [C, H]
+            return smoothed + scale * h_term
+
+        if n_chunks == 1:
+            stats = rows_to_stats(particles)
+        else:
+            chunked = particles.reshape(n_chunks, n // n_chunks,
+                                        particles.shape[-1])
+            stats = jax.lax.map(rows_to_stats, chunked)
+            stats = stats.reshape(n, stats.shape[-1])
         loglik = carry.loglik + inp.weight * inp.in_window * _loglik_increment(log_w)
         return PFCarry(particles, log_w, stats, loglik)
 
@@ -272,12 +304,18 @@ def make_paris_step(kernel: ParticleKernel, stat_fn: StatisticFn,
                     n_tilde: int = 2,
                     resampler_name: str = "multinomial",
                     resample_mode: str = "gather",
-                    ess_threshold: float | None = None):
+                    ess_threshold: float | None = None,
+                    bw_chunk: int | None = None):
     """PaRIS (Olsson & Westerborn) step with exact backward sampling.
 
     Draws ``n_tilde`` backward indices per particle directly from the
     normalized backward weights (`pf.py:226-237` "naive" mode, which the
     accept-reject Algorithm 3 merely approximates in O(N*K) CPU time).
+
+    ``bw_chunk`` streams the [N, N] backward weights in row blocks (same
+    semantics as `make_poyiadjis_n2_step`; per-row draws use per-row keys,
+    so the backward indices J are unchanged) — the exchange-rate KSD runs
+    PaRIS at N=10,000 (`calculate_ksd.py:80`).
     """
     resampler = get_resampler(resampler_name)
 
@@ -291,24 +329,39 @@ def make_paris_step(kernel: ParticleKernel, stat_fn: StatisticFn,
             parents, particles, log_w, _ = _propagate_apply(
                 kernel, resampler_name, resample_mode, params, key_prop,
                 carry.particles, carry.log_weights, None, inp.y, ess_threshold)
-        log_bw = _backward_log_weights(kernel, params, carry.particles,
-                                       carry.log_weights, particles)  # [N, N]
         n = particles.shape[0]
+        n_chunks = _bw_row_chunks(bw_chunk, n)
         bs_keys = jax.random.split(key_bs, n)
-        # J[i, k] ~ Categorical(BW[i, :]), k = 1..n_tilde
-        J = jax.vmap(lambda k, lw: jax.random.categorical(
-            k, lw, shape=(n_tilde,)))(bs_keys, log_bw)            # [N, K]
         scale = inp.weight * inp.in_window
 
-        rewired_stats = jnp.take(carry.statistics, J, axis=0)     # [N, K, H]
+        def rows_to_stats(args):
+            """([C, D] rows, [C] keys) -> [C, H] rewired statistics."""
+            x_next_c, keys_c = args
+            log_bw = _backward_log_weights(
+                kernel, params, carry.particles, carry.log_weights,
+                x_next_c)                                         # [C, N]
+            # J[i, k] ~ Categorical(BW[i, :]), k = 1..n_tilde
+            J = jax.vmap(lambda k, lw: jax.random.categorical(
+                k, lw, shape=(n_tilde,)))(keys_c, log_bw)         # [C, K]
+            rewired_stats = jnp.take(carry.statistics, J, axis=0)  # [C, K, H]
 
-        def h_for(x_next_i, J_i):
-            xt = jnp.take(carry.particles, J_i, axis=0)           # [K, D]
-            x_next_b = jnp.broadcast_to(x_next_i[None, :], xt.shape)
-            return stat_fn(params, xt, x_next_b, inp.y, inp.t)    # [K, H]
+            def h_for(x_next_i, J_i):
+                xt = jnp.take(carry.particles, J_i, axis=0)       # [K, D]
+                x_next_b = jnp.broadcast_to(x_next_i[None, :], xt.shape)
+                return stat_fn(params, xt, x_next_b, inp.y, inp.t)  # [K, H]
 
-        h = jax.vmap(h_for)(particles, J)                         # [N, K, H]
-        stats = jnp.mean(rewired_stats + scale * h, axis=1)       # [N, H]
+            h = jax.vmap(h_for)(x_next_c, J)                      # [C, K, H]
+            return jnp.mean(rewired_stats + scale * h, axis=1)    # [C, H]
+
+        if n_chunks == 1:
+            stats = rows_to_stats((particles, bs_keys))
+        else:
+            chunked_x = particles.reshape(n_chunks, n // n_chunks,
+                                          particles.shape[-1])
+            chunked_k = bs_keys.reshape((n_chunks, n // n_chunks)
+                                        + bs_keys.shape[1:])
+            stats = jax.lax.map(rows_to_stats, (chunked_x, chunked_k))
+            stats = stats.reshape(n, stats.shape[-1])
         loglik = carry.loglik + inp.weight * inp.in_window * _loglik_increment(log_w)
         return PFCarry(particles, log_w, stats, loglik)
 
@@ -416,7 +469,8 @@ def make_smoother_step(name: str, kernel: ParticleKernel, stat_fn: StatisticFn,
                        lambduh: float = 0.95, n_tilde: int = 2,
                        logsumexp_mode: bool = False,
                        resample_mode: str = "gather",
-                       ess_threshold: float | None = None):
+                       ess_threshold: float | None = None,
+                       bw_chunk: int | None = None):
     """Dispatch by smoother name (`buffered_smoother.py:156-199`)."""
     if name == "filter":
         return make_filter_step(kernel, stat_fn, resampler_name,
@@ -429,10 +483,10 @@ def make_smoother_step(name: str, kernel: ParticleKernel, stat_fn: StatisticFn,
                                 resample_mode, ess_threshold)
     if name == "poyiadjis_N2":
         return make_poyiadjis_n2_step(kernel, stat_fn, resampler_name,
-                                      resample_mode, ess_threshold)
+                                      resample_mode, ess_threshold, bw_chunk)
     if name == "paris":
         return make_paris_step(kernel, stat_fn, n_tilde, resampler_name,
-                               resample_mode, ess_threshold)
+                               resample_mode, ess_threshold, bw_chunk)
     if name == "paris_ar":
         return make_paris_ar_step(kernel, stat_fn, n_tilde, resampler_name,
                                   resample_mode, max_accept_reject=None,

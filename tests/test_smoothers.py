@@ -177,3 +177,44 @@ def test_paris_ar_matches_paris_statistically():
     a = np.mean([np.asarray(run("paris", k)) for k in keys], axis=0)
     b = np.mean([np.asarray(run("paris_ar", k)) for k in keys], axis=0)
     np.testing.assert_allclose(a, b, rtol=0.3, atol=1.0)
+
+
+def test_bw_chunk_matches_dense():
+    """Streaming the [N, N] backward weights in row chunks (`bw_chunk`)
+    must reproduce the dense path up to GEMM reduction order (the math and
+    the per-row categorical keys are identical; only the [C,N]@[N,H] tiling
+    differs) for both poyiadjis_N2 and paris."""
+    params = svm.from_scalars(A=0.9, Q=0.3, R=1.0, dtype=jnp.float64)
+    ys, _ = svm.generate_data(jax.random.PRNGKey(2), params, 20)
+
+    def run(name, bw_chunk):
+        return buffered.run_buffered_pf(
+            svm.KERNEL, svm.grad_statistic, params, ys,
+            key=jax.random.PRNGKey(3), n_particles=32, statistic_dim=3,
+            smoother=name, n_tilde=2, bw_chunk=bw_chunk,
+            prior_mean=0.0,
+            prior_var=float(svm.stationary_variance(params)))
+
+    for name in ["poyiadjis_N2", "paris"]:
+        dense = run(name, None)
+        for chunk in [8, 16, 32, 64]:  # 64 > N exercises the >=N fast path
+            chunked = run(name, chunk)
+            np.testing.assert_allclose(
+                np.asarray(dense.statistics), np.asarray(chunked.statistics),
+                rtol=1e-11, atol=1e-13, err_msg=f"{name} chunk={chunk}")
+            np.testing.assert_array_equal(
+                float(dense.loglikelihood), float(chunked.loglikelihood))
+
+
+def test_bw_chunk_must_divide_n():
+    params = svm.from_scalars(A=0.9, Q=0.3, R=1.0, dtype=jnp.float64)
+    ys, _ = svm.generate_data(jax.random.PRNGKey(2), params, 5)
+    try:
+        buffered.run_buffered_pf(
+            svm.KERNEL, svm.grad_statistic, params, ys,
+            key=jax.random.PRNGKey(3), n_particles=32, statistic_dim=3,
+            smoother="poyiadjis_N2", bw_chunk=7)
+    except ValueError as e:
+        assert "bw_chunk" in str(e)
+    else:
+        raise AssertionError("expected ValueError for non-dividing bw_chunk")
