@@ -371,7 +371,8 @@ def make_paris_step(kernel: ParticleKernel, stat_fn: StatisticFn,
 def accept_reject_backward_indices(key, kernel: ParticleKernel, params,
                                    particles, log_weights, new_particles,
                                    n_tilde: int,
-                                   max_accept_reject: int | None = None):
+                                   max_accept_reject: int | None = None,
+                                   bw_chunk: int | None = None):
     """PaRIS Algorithm 3 backward sampling via accept-reject
     (`pf.py:260-341`), as a bounded `lax.while_loop` over masked lanes.
 
@@ -410,16 +411,27 @@ def accept_reject_backward_indices(key, kernel: ParticleKernel, params,
             jnp.zeros(lanes, bool), jnp.zeros(lanes, jnp.int32))
     _, _, accepted, J = jax.lax.while_loop(cond, body, init)
 
-    # exact fallback for unaccepted lanes (manual sampling, `pf.py:329-339`)
+    # exact fallback for unaccepted lanes (manual sampling, `pf.py:329-339`);
+    # bw_chunk streams the dense [N, N] weights in row blocks, as in
+    # make_paris_step.
+    n_chunks = _bw_row_chunks(bw_chunk, N)
+
     def exact_rows(k):
-        def row(x_next_i):
-            x_b = jnp.broadcast_to(x_next_i[None, :], particles.shape)
-            return log_weights + kernel.prior_log_density(params, particles,
-                                                          x_b)
-        log_bw = jax.vmap(row)(new_particles)            # [N, N]
         keys = jax.random.split(k, N)
-        return jax.vmap(lambda kk, lw: jax.random.categorical(
-            kk, lw, shape=(n_tilde,)))(keys, log_bw).astype(jnp.int32)
+
+        def rows(args):
+            x_next_c, keys_c = args
+            log_bw = _backward_log_weights(kernel, params, particles,
+                                           log_weights, x_next_c)  # [C, N]
+            return jax.vmap(lambda kk, lw: jax.random.categorical(
+                kk, lw, shape=(n_tilde,)))(keys_c, log_bw).astype(jnp.int32)
+
+        if n_chunks == 1:
+            return rows((new_particles, keys))
+        cx = new_particles.reshape(n_chunks, N // n_chunks,
+                                   new_particles.shape[-1])
+        ck = keys.reshape((n_chunks, N // n_chunks) + keys.shape[1:])
+        return jax.lax.map(rows, (cx, ck)).reshape(N, n_tilde)
 
     J_exact = jax.lax.cond(jnp.all(accepted),
                            lambda k: J, exact_rows, key_fb)
@@ -431,7 +443,8 @@ def make_paris_ar_step(kernel: ParticleKernel, stat_fn: StatisticFn,
                        resampler_name: str = "multinomial",
                        resample_mode: str = "gather",
                        max_accept_reject: int | None = None,
-                       ess_threshold: float | None = None):
+                       ess_threshold: float | None = None,
+                       bw_chunk: int | None = None):
     """PaRIS step with accept-reject backward sampling (O(N K) expected)."""
     resampler = get_resampler(resampler_name)
 
@@ -447,7 +460,7 @@ def make_paris_ar_step(kernel: ParticleKernel, stat_fn: StatisticFn,
                 carry.particles, carry.log_weights, None, inp.y, ess_threshold)
         J = accept_reject_backward_indices(
             key_bs, kernel, params, carry.particles, carry.log_weights,
-            particles, n_tilde, max_accept_reject)       # [N, K]
+            particles, n_tilde, max_accept_reject, bw_chunk)  # [N, K]
         scale = inp.weight * inp.in_window
         rewired_stats = jnp.take(carry.statistics, J, axis=0)
 
@@ -490,5 +503,6 @@ def make_smoother_step(name: str, kernel: ParticleKernel, stat_fn: StatisticFn,
     if name == "paris_ar":
         return make_paris_ar_step(kernel, stat_fn, n_tilde, resampler_name,
                                   resample_mode, max_accept_reject=None,
-                                  ess_threshold=ess_threshold)
+                                  ess_threshold=ess_threshold,
+                                  bw_chunk=bw_chunk)
     raise ValueError(f"Unrecognized pf = '{name}'")
