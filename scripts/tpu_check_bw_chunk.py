@@ -56,10 +56,9 @@ def time_window(smoother, n, bw_chunk, W=20, reps=3):
 def main():
     print("backend:", jax.default_backend(), flush=True)
     for smoother in ["paris", "poyiadjis_N2"]:
-        for n in [10_000, 40_000]:
-            for chunk in [None, 256, 1024, 4000]:
-                if chunk is not None and n % chunk != 0:
-                    continue
+        for n, chunks in [(10_000, [None, 500, 2500]),
+                          (40_000, [None, 2000, 8000])]:
+            for chunk in chunks:
                 time_window(smoother, n, chunk)
     # Poyiadjis-O(N) reference point at the ground-truth scale
     for n in [100_000, 1_000_000]:

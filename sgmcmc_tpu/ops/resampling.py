@@ -33,15 +33,33 @@ def normalize_log_weights(log_weights: jax.Array) -> jax.Array:
                      1.0 / n)
 
 
+# Above this N, `jax.random.categorical(key, lw, shape=(n,))` is replaced by
+# iid-uniform inverse-CDF sampling (identical in law): the categorical path
+# materializes an [n, N] Gumbel block — 400 MB at N=1e4, a device-crashing
+# 4 TB at the reference's N=1e6 ground-truth configs (`svm_grad_compare.py:75`).
+_CATEGORICAL_MAX_N = 8192
+
+
 def multinomial_resampling(key: jax.Array, log_weights: jax.Array,
                            num_samples: int | None = None) -> jax.Array:
-    """Categorical ancestor sampling, matching np.random.choice in law."""
+    """Categorical ancestor sampling, matching np.random.choice in law.
+
+    Small N uses Gumbel-max `jax.random.categorical`; large N draws iid
+    uniforms through the inverse CDF (O(n log N) binary search, O(n + N)
+    memory) — both are exact multinomial sampling, only the PRNG-to-index
+    map differs.
+    """
     n = log_weights.shape[-1] if num_samples is None else num_samples
-    return jax.random.categorical(key, log_weights, shape=(n,)).astype(jnp.int32)
+    if max(n, log_weights.shape[-1]) <= _CATEGORICAL_MAX_N:
+        return jax.random.categorical(key, log_weights,
+                                      shape=(n,)).astype(jnp.int32)
+    u = jax.random.uniform(key, (n,), dtype=log_weights.dtype)
+    return _inverse_cdf_gather(u, log_weights)
 
 
 def _inverse_cdf_gather(positions: jax.Array, log_weights: jax.Array) -> jax.Array:
-    """Map sorted uniform positions in [0,1) to indices via the weight CDF."""
+    """Map positions in [0,1) to indices via the weight CDF (positions need
+    not be sorted; the binary search is per-query)."""
     probs = normalize_log_weights(log_weights)
     cdf = jnp.cumsum(probs, axis=-1)
     # searchsorted is XLA-lowered to a vectorized binary search.

@@ -49,3 +49,24 @@ def test_ess():
     assert np.isclose(float(resampling.effective_sample_size(log_w)), 16.0)
     log_w = jnp.full((16,), -jnp.inf).at[0].set(0.0)
     assert np.isclose(float(resampling.effective_sample_size(log_w)), 1.0)
+
+
+def test_multinomial_large_n_inverse_cdf_path():
+    """Above _CATEGORICAL_MAX_N multinomial switches to iid-uniform
+    inverse-CDF sampling (same law, O(n + N) memory): counts must still be
+    proportional to the weights, and degenerate weights must collapse."""
+    key = jax.random.PRNGKey(3)
+    n = resampling._CATEGORICAL_MAX_N * 2
+    # weights concentrated on a few indices so frequencies are testable
+    log_w = jnp.full((n,), -jnp.inf).at[0].set(jnp.log(0.5)) \
+        .at[n // 2].set(jnp.log(0.25)).at[n - 1].set(jnp.log(0.25))
+    idx = np.asarray(jax.jit(resampling.multinomial_resampling)(key,
+                                                                log_w))
+    assert idx.shape == (n,) and idx.dtype == np.int32
+    freq0 = (idx == 0).mean()
+    freq_mid = (idx == n // 2).mean()
+    freq_last = (idx == n - 1).mean()
+    assert abs(freq0 - 0.5) < 0.02
+    assert abs(freq_mid - 0.25) < 0.02
+    assert abs(freq_last - 0.25) < 0.02
+    assert freq0 + freq_mid + freq_last == 1.0
