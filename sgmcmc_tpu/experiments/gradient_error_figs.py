@@ -29,6 +29,13 @@ from ..ops import buffered
 from ..ops.subsequence import subsequence_weights
 
 
+# Above this many particles, replicates run as separate device programs
+# instead of one vmapped batch: a 4-rep vmap at N=1e6 crashes the TPU
+# worker (the batched window scan exceeds what one program can schedule),
+# while sequential N=1e6 windows run fine at ~3 s each.
+SEQUENTIAL_REP_N = 200_000
+
+
 def pf_gradient_batch(model, params, window, step_w, in_win, keys, N,
                       smoother="poyiadjis_N", resample_mode="auto"):
     def one(k):
@@ -41,6 +48,9 @@ def pf_gradient_batch(model, params, window, step_w, in_win, keys, N,
             resampler="systematic", resample_mode=resample_mode)
         return out.mean_statistic
 
+    if N > SEQUENTIAL_REP_N:
+        one_jit = jax.jit(one)
+        return jnp.stack([one_jit(k) for k in keys])
     return jax.jit(jax.vmap(one))(keys)
 
 

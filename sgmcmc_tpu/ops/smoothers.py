@@ -389,6 +389,20 @@ def accept_reject_backward_indices(key, kernel: ParticleKernel, params,
     log_q_max = kernel.prior_log_density_max(params)
     lanes = (N, n_tilde)
 
+    # Proposal ancestors I ~ Categorical(w).  `jax.random.categorical` with
+    # shape=lanes materializes an [N, K, N] Gumbel block per round — above
+    # the threshold, draw uniforms through the (shared, precomputed) weight
+    # CDF instead (identical in law, O(N*K) memory).
+    from .resampling import _CATEGORICAL_MAX_N, _inverse_cdf_gather
+    use_cdf = N > _CATEGORICAL_MAX_N
+
+    def draw_ancestors(k):
+        if use_cdf:
+            u = jax.random.uniform(k, lanes, log_weights.dtype)
+            return _inverse_cdf_gather(u, log_weights)
+        return jax.random.categorical(k, log_weights,
+                                      shape=lanes).astype(jnp.int32)
+
     def cond(state):
         i, _, accepted, _ = state
         return (i < max_accept_reject) & jnp.logical_not(jnp.all(accepted))
@@ -396,8 +410,7 @@ def accept_reject_backward_indices(key, kernel: ParticleKernel, params,
     def body(state):
         it, key, accepted, J = state
         key, k_prop, k_u = jax.random.split(key, 3)
-        I = jax.random.categorical(k_prop, log_weights,
-                                   shape=lanes).astype(jnp.int32)
+        I = draw_ancestors(k_prop)
         U = jax.random.uniform(k_u, lanes, log_weights.dtype)
         x_prop = jnp.take(particles, I, axis=0)          # [N, K, D]
         x_next_b = jnp.broadcast_to(new_particles[:, None, :], x_prop.shape)
