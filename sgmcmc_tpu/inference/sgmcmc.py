@@ -74,10 +74,11 @@ class PFScoreConfig:
     # None (the parity default) resamples every step, as the reference does.
     ess_threshold: float | None = None
     # Row-chunk size for the dense [N, N] backward-weight smoothers
-    # (poyiadjis_N2, paris): streams the contraction in blocks of this many
-    # rows — O(bw_chunk * N) live memory instead of O(N^2) for large N
-    # (e.g. the reference's N=1e4-1e6 ground-truth / KSD configs).  None
-    # materializes the full matrix; chunking changes only GEMM tiling.
+    # (poyiadjis_N2, paris, paris_ar fallback): streams the contraction in
+    # blocks of this many rows — O(bw_chunk * N) live memory instead of
+    # O(N^2) for large N (e.g. the reference's N=1e4-1e6 ground-truth /
+    # KSD configs).  None auto-selects (dense up to N=8192, ~4096-row
+    # blocks above); chunking changes only GEMM tiling.
     bw_chunk: int | None = None
     # 'kernel' generates proposal normals inside the fused Pallas kernel
     # (hardware PRNG; saves the [W, D*s, B]-per-chain HBM stream).  Only

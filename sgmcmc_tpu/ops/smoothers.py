@@ -224,10 +224,24 @@ def _backward_log_weights(kernel: ParticleKernel, params, particles,
     return jax.vmap(row)(new_particles)      # [N, N]
 
 
+# Auto-chunk policy: above this N, bw_chunk=None streams the [N, N]
+# backward weights in blocks of the largest divisor of N at most
+# _BW_AUTO_CHUNK rows (speed-neutral — measured in BENCH_NOTES — and keeps
+# the per-step live memory at O(chunk * N) instead of O(N^2)).
+_BW_AUTO_DENSE_MAX_N = 8192
+_BW_AUTO_CHUNK = 4096
+
+
 def _bw_row_chunks(bw_chunk: int | None, n: int):
     """Validated row-chunk count for streaming the [N, N] backward-weight
-    smoothers (None / >= N means one dense materialization)."""
-    if bw_chunk is None or bw_chunk >= n:
+    smoothers (None auto-selects: dense up to N=8192, chunked above;
+    an explicit bw_chunk >= N forces one dense materialization)."""
+    if bw_chunk is None:
+        if n <= _BW_AUTO_DENSE_MAX_N:
+            return 1
+        bw_chunk = next(d for d in range(min(_BW_AUTO_CHUNK, n), 0, -1)
+                        if n % d == 0)
+    if bw_chunk >= n:
         return 1
     if n % bw_chunk != 0:
         raise ValueError(

@@ -218,3 +218,13 @@ def test_bw_chunk_must_divide_n():
         assert "bw_chunk" in str(e)
     else:
         raise AssertionError("expected ValueError for non-dividing bw_chunk")
+
+
+def test_bw_chunk_auto_policy():
+    """bw_chunk=None is dense up to 8192 particles and auto-chunks above
+    (largest divisor <= 4096)."""
+    assert smoothers._bw_row_chunks(None, 8192) == 1
+    assert smoothers._bw_row_chunks(None, 16384) == 4  # 16384 / 4096
+    assert smoothers._bw_row_chunks(None, 10000) == 4  # chunk 2500
+    assert smoothers._bw_row_chunks(None, 1_000_000) == 250  # chunk 4000
+    assert smoothers._bw_row_chunks(16384, 16384) == 1  # explicit dense
