@@ -29,22 +29,55 @@ def _as_rows(result) -> list[dict]:
 
 
 class BaseEvaluator:
-    """Collects metric/sample rows into tidy DataFrames."""
+    """Collects metric/sample rows into tidy DataFrames.
+
+    Rows are buffered in plain lists and materialized into a DataFrame only
+    when read — O(n) over a run instead of the per-evaluation
+    ``pd.concat`` O(n^2) of the reference (`evaluator.py:102-142`).
+    """
 
     def __init__(self, metric_functions=None, sample_functions=None):
         self.metric_functions = list(metric_functions or [])
         self.sample_functions = list(sample_functions or [])
-        self.metrics = pd.DataFrame()
-        self.samples = pd.DataFrame()
+        self._metrics_df = pd.DataFrame()
+        self._metric_rows: list[dict] = []
+        self._samples_df = pd.DataFrame()
+        self._sample_rows: list[dict] = []
+
+    @property
+    def metrics(self) -> pd.DataFrame:
+        if self._metric_rows:
+            self._metrics_df = pd.concat(
+                [self._metrics_df, pd.DataFrame(self._metric_rows)],
+                ignore_index=True)
+            self._metric_rows = []
+        return self._metrics_df
+
+    @metrics.setter
+    def metrics(self, df: pd.DataFrame):
+        self._metrics_df = df
+        self._metric_rows = []
+
+    @property
+    def samples(self) -> pd.DataFrame:
+        if self._sample_rows:
+            self._samples_df = pd.concat(
+                [self._samples_df, pd.DataFrame(self._sample_rows)],
+                ignore_index=True)
+            self._sample_rows = []
+        return self._samples_df
+
+    @samples.setter
+    def samples(self, df: pd.DataFrame):
+        self._samples_df = df
+        self._sample_rows = []
 
     def eval_metric_functions(self, sampler, iteration, **extra):
         rows = []
         for fn in self.metric_functions:
             for row in _as_rows(fn(sampler)):
                 rows.append(dict(iteration=iteration, **row, **extra))
-        if rows:
-            self.metrics = pd.concat([self.metrics, pd.DataFrame(rows)],
-                                     ignore_index=True)
+        self._metric_rows.extend(rows)
         return rows
 
     def eval_sample_functions(self, sampler, iteration, **extra):
@@ -52,9 +85,7 @@ class BaseEvaluator:
         for fn in self.sample_functions:
             for row in _as_rows(fn(sampler)):
                 rows.append(dict(iteration=iteration, **row, **extra))
-        if rows:
-            self.samples = pd.concat([self.samples, pd.DataFrame(rows)],
-                                     ignore_index=True)
+        self._sample_rows.extend(rows)
         return rows
 
     def get_metrics(self) -> pd.DataFrame:
@@ -98,10 +129,9 @@ class SamplerEvaluator(BaseEvaluator):
         if evaluate:
             self.eval_metric_functions(self.sampler, self.iteration,
                                        time=self.elapsed_time)
-            self.metrics = pd.concat([self.metrics, pd.DataFrame([dict(
+            self._metric_rows.append(dict(
                 iteration=self.iteration, metric="runtime", variable="all",
-                value=step_time, time=self.elapsed_time)])],
-                ignore_index=True)
+                value=step_time, time=self.elapsed_time))
             self.eval_sample_functions(self.sampler, self.iteration,
                                        time=self.elapsed_time)
         return out

@@ -536,16 +536,17 @@ class Sampler:
 
     # -- prediction / latent recovery --------------------------------------
     def predict(self, target: str = "latent", kind: str | None = None,
-                pf: str = "poyiadjis_N", N: int = 1000, squared=False,
+                pf: str | None = None, N: int = 1000, squared=False,
                 lag=None, num_samples: int | None = None, **kwargs):
         """Latent/observation prediction (`predict`,
-        `sgmcmc_sampler.py:956-1123`; PF path `pf_latent_var_distr`,
-        e.g. `svm/helper.py:249-294`).
+        `sgmcmc_sampler.py:956-1123`; PF path `pf_latent_var_distr` /
+        `pf_y_distr`, e.g. `svm/helper.py:249-294`).
 
-        target 'latent' or 'y'; ``lag`` selects p(. | y_{<= t+lag})
-        (None = smoothed) on the message-passing path; ``num_samples``
-        switches from distributions to joint posterior draws
-        (`latent_var_sample` / `y_sample`).
+        target 'latent' or 'y'; ``lag`` selects p(. | y_{<= t+lag}):
+        None = smoothed, 0 = filtered (PF path: forces ``pf='filter'``,
+        matching `svm/helper.py:253-258`), k >= 1 = fixed-lag.
+        ``num_samples`` switches from distributions to joint posterior
+        draws (`latent_var_sample` / `y_sample`; exact-message path only).
         """
         if target not in ("latent", "y"):
             raise ValueError(f"Unrecognized target '{target}'")
@@ -576,58 +577,98 @@ class Sampler:
                     self.parameters, self.observations, lag=lag))
             raise NotImplementedError(
                 f"{m.name} has no analytic predict for target='{target}'")
-        # PF path: full-sequence elementwise sufficient statistics
+        # ---- PF path: elementwise statistics over the full sequence ------
+        if num_samples is not None:
+            raise NotImplementedError(
+                "joint posterior sampling is not available on the PF path "
+                "(reference contract: `latent_var_sample` raises for "
+                "PF-only models, `svm/sampler.py:67-78`)")
+        # lag/pf contract (`pf_latent_var_distr`, `svm/helper.py:253-258`):
+        # lag=0 needs the filter; smoothing must not use the filter.
+        if pf is None:
+            pf = "filter" if lag == 0 else "poyiadjis_N"
+        if lag == 0 and pf != "filter":
+            raise ValueError("pf must be 'filter' for lag = 0")
+        if lag is None and pf == "filter":
+            raise ValueError("pf must not be 'filter' for smoothing")
+        fixed_lag = int(lag) if (lag is not None and lag > 0) else None
+
+        if target == "y":
+            if m.y_statistic is None:
+                raise NotImplementedError(
+                    f"{m.name} has no PF observation-moment statistic")
+            stat_fn, stat_dim = m.y_statistic, m.y_statistic_dim
+        else:
+            stat_fn, stat_dim = m.suff_statistic, m.suff_statistic_dim
         from ..ops.buffered import run_buffered_pf
         T = self.T
-        cache_key = ("latent_pf", pf, N, squared, T)
+        kernel_name = kwargs.get("kernel")
+        cache_key = ("pf_distr", target, pf, N, lag, T, kernel_name)
         if cache_key not in self._cache:
             def run(key, params, obs):
                 out = run_buffered_pf(
-                    m.get_kernel(kwargs.get("kernel")), m.suff_statistic,
+                    m.get_kernel(kernel_name), stat_fn,
                     params, obs, key=key, n_particles=N,
-                    statistic_dim=m.suff_statistic_dim, smoother=pf,
+                    statistic_dim=stat_dim, smoother=pf,
                     prior_mean=m.prior_mean_var(params)[0],
                     prior_var=m.prior_mean_var(params)[1],
                     resampler=kwargs.get("resampler", "multinomial"),
                     resample_mode=kwargs.get("resample_mode", "auto"),
-                    elementwise=True, window_length=T)
+                    elementwise=True, window_length=T,
+                    fixed_lag=fixed_lag)
                 return out.mean_statistic
 
             self._cache[cache_key] = jax.jit(run)
-        stat = np.asarray(self._cache[cache_key](
-            self.next_key(), self.parameters, self.observations))
-        stat = stat.reshape(T, m.suff_statistic_dim)
-        if squared:   # GARCH squared-latent path (`garch/helper.py:262-267`)
-            x_mean, x_cov = stat[:, 1], stat[:, 2] - stat[:, 1] ** 2
+        stat = self._cache[cache_key](
+            self.next_key(), self.parameters, self.observations)
+        stat = stat.reshape(T, stat_dim)
+        if target == "y":
+            mean, cov = m.y_moments(self.parameters, stat)
+        elif m.latent_moments is not None:
+            if squared:   # GARCH data-fit view (`garch/helper.py:262-267`)
+                mean, cov = m.latent_moments(self.parameters, stat,
+                                             squared=True)
+            else:
+                mean, cov = m.latent_moments(self.parameters, stat)
         else:
-            x_mean, x_cov = stat[:, 0], stat[:, 1] - stat[:, 0] ** 2
-        return x_mean.reshape(-1, 1), x_cov.reshape(-1, 1, 1)
+            mean = stat[:, 0].reshape(-1, 1)
+            cov = (stat[:, 1] - stat[:, 0] ** 2).reshape(-1, 1, 1)
+        return np.asarray(mean), np.asarray(cov)
 
     def predictive_loglikelihood(self, num_steps_ahead: int = 5,
                                  kind: str | None = None, N: int = 1000,
                                  lag: int = 1, **kwargs):
         """k-step-ahead predictive loglikelihood
         (`pf_predictive_loglikelihood_estimate`, `svm/helper.py:187-247`;
-        exact lag version for message-passing models)."""
+        exact lag version for message-passing models).  Dispatches through
+        the model registry — unknown models raise instead of silently
+        borrowing another model's statistic."""
         m = self.model
         if kind is None:
             kind = self._default_kind()
         if kind == "marginal":
-            from ..models import lgssm as lgssm_mod
-            return float(lgssm_mod.predictive_loglikelihood(
-                self.parameters, self.observations, lag=lag))
-        from ..models import garch as garch_mod
-        from ..models import svjm as svjm_mod
-        from ..models import svm as svm_mod
+            if m.predictive_loglikelihood is None:
+                raise NotImplementedError(
+                    f"{m.name} has no exact predictive loglikelihood")
+            cache_key = ("exact_pred_ll", int(lag))
+            if cache_key not in self._cache:
+                fn = m.predictive_loglikelihood
+                self._cache[cache_key] = jax.jit(
+                    lambda p, obs: fn(p, obs, lag=int(lag)))
+            return float(self._cache[cache_key](self.parameters,
+                                                self.observations))
+        if m.make_predictive_stat_fn is None:
+            raise NotImplementedError(
+                f"{m.name} has no PF predictive-loglikelihood statistic")
         from ..ops.buffered import run_buffered_pf
-        mod = {"svm": svm_mod, "svjm": svjm_mod}.get(m.name, garch_mod)
-        stat_fn = mod.make_predictive_stat_fn(self.observations,
-                                              num_steps_ahead)
-        cache_key = ("pred_ll", num_steps_ahead, N)
+        stat_fn = m.make_predictive_stat_fn(self.observations,
+                                            num_steps_ahead)
+        kernel_name = kwargs.get("kernel")
+        cache_key = ("pred_ll", num_steps_ahead, N, kernel_name)
         if cache_key not in self._cache:
             def run(key, params, obs):
                 out = run_buffered_pf(
-                    m.get_kernel(None), stat_fn, params, obs, key=key,
+                    m.get_kernel(kernel_name), stat_fn, params, obs, key=key,
                     n_particles=N, statistic_dim=num_steps_ahead + 1,
                     smoother="filter", logsumexp_mode=True,
                     prior_mean=m.prior_mean_var(params)[0],

@@ -190,19 +190,31 @@ def best_permutation_metric_function_parameters(
 
 def metric_compare_z(true_z, num_states: int | None = None) -> Callable:
     """Discrete-latent recovery metrics — NMI / best-permutation accuracy
-    (`metric_compare_z`, `metric_functions.py:419-438`); requires a sampler
-    exposing latent state probabilities via its model module."""
+    (`metric_compare_z`, `metric_functions.py:419-438`).
+
+    Dispatches through the sampler's model registry entry, so it works for
+    every discrete-latent family (GaussHMM, ARPHMM, ...) rather than being
+    hardwired to one model module.
+    """
     true_z = np.asarray(true_z)
 
     import jax
-    _distr = [None]
+    _distr: dict[str, Callable] = {}
 
     def metric_fn(sampler):
-        from ..models import gauss_hmm as ghmm
-        if _distr[0] is None:
-            _distr[0] = jax.jit(ghmm.latent_var_distr)
-        probs = np.asarray(_distr[0](sampler.parameters,
-                                     sampler.observations))
+        model = getattr(sampler, "model", None)
+        distr = getattr(model, "latent_var_distr", None)
+        if distr is None:
+            raise NotImplementedError(
+                "metric_compare_z needs a model with latent_var_distr")
+        if model.name not in _distr:
+            _distr[model.name] = jax.jit(distr)
+        out = _distr[model.name](sampler.parameters, sampler.observations)
+        if isinstance(out, tuple):
+            raise ValueError(
+                "metric_compare_z requires a discrete-latent model "
+                "(latent_var_distr returned Gaussian moments)")
+        probs = np.asarray(out)
         pred = np.argmax(probs, axis=-1)
         try:
             from sklearn.metrics import normalized_mutual_info_score

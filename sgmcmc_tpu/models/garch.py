@@ -204,6 +204,37 @@ def suff_statistic(params: GARCHParams, x_t, x_next, y_next, t):
     return jnp.stack([x1, x1 * x1, x1 ** 4], axis=-1)
 
 
+def latent_moments(params: GARCHParams, stats, squared: bool = False):
+    """Elementwise-averaged suff stats [T, 3] -> latent (mean, cov).
+
+    ``squared`` returns the moments of x^2 instead (the reference's
+    data-fit view, `garch/helper.py:262-267`)."""
+    if squared:
+        x_mean = stats[:, 1]
+        x_cov = stats[:, 2] - x_mean ** 2
+    else:
+        x_mean = stats[:, 0]
+        x_cov = stats[:, 1] - x_mean ** 2
+    return x_mean[:, None], x_cov[:, None, None]
+
+
+Y_STATISTIC_DIM = 2
+
+
+def y_statistic(params: GARCHParams, x_t, x_next, y_next, t):
+    """(x, x^2) features for observation moments under y = x + N(0, R)."""
+    x1 = x_next[:, 0]
+    return jnp.stack([x1, x1 * x1], axis=-1)
+
+
+def y_moments(params: GARCHParams, stats):
+    """[T, 2] (E[x], E[x^2]) -> (y_mean [T,1] = E[x],
+    y_cov [T,1,1] = Var[x] + R)."""
+    x_mean = stats[:, 0]
+    y_cov = stats[:, 1] - x_mean ** 2 + params.R
+    return x_mean[:, None], y_cov[:, None, None]
+
+
 def make_predictive_stat_fn(observations, num_steps_ahead: int,
                             base_key=None):
     """k-step-ahead predictive loglikelihood statistic

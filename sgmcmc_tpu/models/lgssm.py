@@ -537,6 +537,67 @@ def suff_statistic(params: LGSSMParams, x_t, x_next, y_next, t):
     ], axis=-1)
 
 
+def _parse_latent_suff(params: LGSSMParams, stats):
+    """Elementwise-averaged suff stats [T, H] -> (x_mean [T,n],
+    x_cov [T,n,n]) (`pf_latent_var_distr`, `lgssm/helper.py:1145-1198`)."""
+    n = params.n
+    if n == 1:
+        x_mean = stats[:, 0:1]
+        x_cov = (stats[:, 1] - stats[:, 0] ** 2)[:, None, None]
+        return x_mean, x_cov
+    x_mean = stats[:, :n]
+    second = stats[:, n:n + n * n].reshape(-1, n, n)
+    x_cov = second - jnp.einsum('ti,tj->tij', x_mean, x_mean)
+    return x_mean, x_cov
+
+
+def latent_moments(params: LGSSMParams, stats):
+    return _parse_latent_suff(params, stats)
+
+
+def y_moments(params: LGSSMParams, stats):
+    """Suff stats [T, H] -> observation moments: y_mean = C x_mean,
+    y_cov = C P C^T + R (analytic `y_distr`, `lgssm/helper.py:819-846`,
+    applied to PF-estimated latent moments)."""
+    x_mean, x_cov = _parse_latent_suff(params, stats)
+    C, R = params.C, params.R
+    y_mean = x_mean @ C.T
+    y_cov = jnp.einsum('ij,tjk,lk->til', C, x_cov, C) + R
+    return y_mean, y_cov
+
+
+def make_predictive_stat_fn(observations, num_steps_ahead: int,
+                            base_key=None):
+    """k-step-ahead Gaussian predictive-loglikelihood statistic
+    (`gaussian_predictive_loglikelihood`, `lgssm/helper.py:1281-1336`):
+    propagate per-particle moments through (A, Q) and score y_{t+k}
+    under N(C x_pred, C P_pred C^T + R).  Returns [N, K+1]."""
+    T = observations.shape[0]
+
+    def stat_fn(params, x_t, x_next, y_next, t):
+        A, C, Q, R = params.A, params.C, params.Q, params.R
+        n, m = params.n, params.m
+        dtype = x_next.dtype
+        out = []
+        x_pred = x_next                                  # [N, n]
+        P_pred = jnp.zeros((n, n), dtype)
+        for k in range(num_steps_ahead + 1):
+            tk = jnp.clip(t + k, 0, T - 1)
+            in_range = (t + k < T).astype(dtype)
+            diff = observations[tk][None, :] - x_pred @ C.T   # [N, m]
+            y_cov = R + C @ P_pred @ C.T                      # [m, m]
+            sol = jnp.linalg.solve(y_cov, diff.T).T
+            ll = (-0.5 * jnp.sum(diff * sol, axis=-1)
+                  - 0.5 * m * _LOG_2PI
+                  - 0.5 * jnp.linalg.slogdet(y_cov)[1])
+            out.append(in_range * ll)
+            x_pred = x_pred @ A.T
+            P_pred = Q + A @ P_pred @ A.T
+        return jnp.stack(out, axis=-1)
+
+    return stat_fn
+
+
 # --------------------------------------------------------------------------
 # Fused-kernel bundles for the scalar (n = m = 1) case — the configuration
 # of every reference experiment.  See `ops/pallas/fused_pf.py`.

@@ -45,6 +45,17 @@ class ModelAPI:
     gibbs_step: Callable | None = None
     # PF support (None for purely discrete models)
     has_pf: bool = True
+    # PF predict surface (`pf_latent_var_distr` / `pf_y_distr` contract,
+    # `sgmcmc_sampler.py:1895-1968`): statistic whose elementwise smoothed
+    # average yields observation moments, and the moment converters.
+    latent_moments: Callable | None = None   # (params, stats[T,H]) -> (m, P)
+    y_statistic: Callable | None = None
+    y_statistic_dim: int = 0
+    y_moments: Callable | None = None        # (params, stats) -> (m, P)
+    # k-step predictive loglik statistic factory (PF path) and the exact
+    # message-passing predictive loglikelihood (marginal path)
+    make_predictive_stat_fn: Callable | None = None
+    predictive_loglikelihood: Callable | None = None
     # optional fused-window kernel bundles (ops/pallas/fused_pf.py):
     # kernel_name -> FusedModel | None
     get_fused: Callable | None = None
@@ -73,6 +84,11 @@ SVM = ModelAPI(
     generate_data=svm_mod.generate_data,
     prior_mean_var=lambda p: (0.0, svm_mod.stationary_variance(p)),
     get_fused=svm_mod.get_fused,
+    latent_moments=svm_mod.latent_moments,
+    y_statistic=svm_mod.y_statistic,
+    y_statistic_dim=svm_mod.Y_STATISTIC_DIM,
+    y_moments=svm_mod.y_moments,
+    make_predictive_stat_fn=svm_mod.make_predictive_stat_fn,
 )
 
 SVJM = ModelAPI(
@@ -91,6 +107,11 @@ SVJM = ModelAPI(
     generate_data=svjm_mod.generate_data,
     prior_mean_var=lambda p: (0.0, svjm_mod.stationary_variance(p)),
     get_fused=svjm_mod.get_fused,
+    latent_moments=svjm_mod.latent_moments,
+    y_statistic=svjm_mod.y_statistic,
+    y_statistic_dim=svjm_mod.Y_STATISTIC_DIM,
+    y_moments=svjm_mod.y_moments,
+    make_predictive_stat_fn=svjm_mod.make_predictive_stat_fn,
 )
 
 GARCH = ModelAPI(
@@ -109,6 +130,11 @@ GARCH = ModelAPI(
     generate_data=garch_mod.generate_data,
     prior_mean_var=lambda p: (0.0, garch_mod.stationary_variance(p)),
     get_fused=garch_mod.get_fused,
+    latent_moments=garch_mod.latent_moments,
+    y_statistic=garch_mod.y_statistic,
+    y_statistic_dim=garch_mod.Y_STATISTIC_DIM,
+    y_moments=garch_mod.y_moments,
+    make_predictive_stat_fn=garch_mod.make_predictive_stat_fn,
 )
 
 
@@ -139,6 +165,12 @@ def _lgssm_api(n: int = 1, m: int = 1) -> ModelAPI:
         latent_var_sample=lgssm_mod.latent_var_sample,
         latent_var_distr=lgssm_mod.latent_var_distr,
         gibbs_step=lgssm_mod.gibbs_step,
+        latent_moments=lgssm_mod.latent_moments,
+        y_statistic=lgssm_mod.suff_statistic,
+        y_statistic_dim=(3 if n == 1 else n + 2 * n * n),
+        y_moments=lgssm_mod.y_moments,
+        make_predictive_stat_fn=lgssm_mod.make_predictive_stat_fn,
+        predictive_loglikelihood=lgssm_mod.predictive_loglikelihood,
         precondition=lgssm_mod.precondition,
         precondition_noise=lgssm_mod.precondition_noise,
         correction_term=lgssm_mod.correction_term,
@@ -175,6 +207,7 @@ def _gauss_hmm_api(num_states: int = 2, m: int = 1) -> ModelAPI:
         latent_var_sample=gauss_hmm_mod.latent_var_sample,
         latent_var_distr=gauss_hmm_mod.latent_var_distr,
         gibbs_step=gauss_hmm_mod.gibbs_step,
+        predictive_loglikelihood=gauss_hmm_mod.predictive_loglikelihood,
         precondition=gauss_hmm_mod.precondition,
         precondition_noise=gauss_hmm_mod.precondition_noise,
         correction_term=gauss_hmm_mod.correction_term,
@@ -205,6 +238,7 @@ def _arphmm_api(num_states: int = 2, m: int = 1, p: int = 1) -> ModelAPI:
         gibbs_step=arphmm_mod.gibbs_step,
         latent_var_sample=arphmm_mod.latent_var_sample,
         latent_var_distr=arphmm_mod.latent_var_distr,
+        predictive_loglikelihood=arphmm_mod.predictive_loglikelihood,
         precondition=arphmm_mod.precondition,
         precondition_noise=arphmm_mod.precondition_noise,
         correction_term=arphmm_mod.correction_term,

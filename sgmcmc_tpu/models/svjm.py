@@ -361,6 +361,27 @@ def suff_statistic(params: SVJMParams, x_t, x_next, y_next, t):
     return jnp.stack([x1, x1 * x1, x0 * x1], axis=-1)
 
 
+def latent_moments(params: SVJMParams, stats):
+    """[T, 3] averaged suff stats -> latent (mean [T,1], cov [T,1,1])."""
+    x_mean = stats[:, 0]
+    x_cov = stats[:, 1] - x_mean ** 2
+    return x_mean[:, None], x_cov[:, None, None]
+
+
+Y_STATISTIC_DIM = 1
+
+
+def y_statistic(params: SVJMParams, x_t, x_next, y_next, t):
+    """E[exp(x)] feature; emission y ~ N(0, exp(x) R) as in the SVM."""
+    return jnp.exp(jnp.clip(x_next[:, 0], -60.0, 60.0))[:, None]
+
+
+def y_moments(params: SVJMParams, stats):
+    T = stats.shape[0]
+    return (jnp.zeros((T, 1), stats.dtype),
+            (params.R * stats[:, 0])[:, None, None])
+
+
 def make_predictive_stat_fn(observations, num_steps_ahead: int,
                             n_mc: int = 1, base_key=None):
     """k-step-ahead predictive loglikelihood statistic (the SVM's

@@ -277,6 +277,33 @@ def suff_statistic(params: SVMParams, x_t, x_next, y_next, t):
     return jnp.stack([x1, x1 * x1, x0 * x1], axis=-1)
 
 
+def latent_moments(params: SVMParams, stats):
+    """Elementwise-averaged suff stats [T, 3] -> smoothed/filtered latent
+    (mean [T, 1], cov [T, 1, 1]) (`pf_latent_var_distr`,
+    `svm/helper.py:249-294`)."""
+    x_mean = stats[:, 0]
+    x_cov = stats[:, 1] - x_mean ** 2
+    return x_mean[:, None], x_cov[:, None, None]
+
+
+Y_STATISTIC_DIM = 1
+
+
+def y_statistic(params: SVMParams, x_t, x_next, y_next, t):
+    """E[exp(x)] feature for exact observation moments under the emission
+    y ~ N(0, exp(x) R).  The reference's `pf_y_distr` is unimplemented
+    (`sgmcmc_sampler.py:1930`); this realizes the documented contract."""
+    return jnp.exp(jnp.clip(x_next[:, 0], -60.0, 60.0))[:, None]
+
+
+def y_moments(params: SVMParams, stats):
+    """[T, 1] E[exp(x_t) | y] -> (y_mean [T, 1] = 0, y_cov [T, 1, 1] =
+    R * E[exp(x_t)]) by the law of total variance."""
+    T = stats.shape[0]
+    return (jnp.zeros((T, 1), stats.dtype),
+            (params.R * stats[:, 0])[:, None, None])
+
+
 def make_predictive_stat_fn(observations, num_steps_ahead: int,
                             n_mc: int = 1, base_key=None):
     """k-step-ahead predictive loglikelihood statistic

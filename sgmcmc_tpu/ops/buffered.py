@@ -78,12 +78,21 @@ def run_buffered_pf(
         save_all: bool = False,
         ess_threshold: float | None = None,
         bw_chunk: int | None = None,
+        fixed_lag: int | None = None,
 ) -> PFOutput:
     """Run ``W`` steps of a buffered particle smoother over one window.
 
     ``step_weights`` carries both the buffering (zero outside ``[t1, tL)``)
     and the subsequence-unbiasedness weights; ``in_window`` gates the
     log-likelihood accumulation (`buffered_smoother.py:96-126`).
+
+    ``fixed_lag`` (elementwise smoothers only) returns fixed-lag smoothed
+    elementwise statistics E[h_t | y_{<= t+lag}] in ``mean_statistic``:
+    slot ``t`` of the running elementwise statistic is snapshotted (weight-
+    averaged) at step ``t + lag``; slots within ``lag`` of the window end
+    use the final (fully smoothed) statistic, which conditions on the same
+    observations.  This exceeds the reference, whose `pf_latent_var_distr`
+    raises for ``lag not in (None, 0)`` (`svm/helper.py:253-258`).
     """
     W = observations.shape[0]
     dtype = observations.dtype
@@ -127,18 +136,45 @@ def run_buffered_pf(
         t=jnp.arange(W, dtype=jnp.int32),
     )
 
+    if fixed_lag is not None:
+        if not elementwise or smoother == "filter":
+            raise ValueError("fixed_lag requires an elementwise smoother")
+        if save_all:
+            raise ValueError("fixed_lag and save_all are exclusive")
+
     def body(carry, inp):
         new_carry = step(params, carry, inp)
+        if fixed_lag is not None:
+            # snapshot slot (t - lag) over the *current* particle cloud:
+            # the fixed-lag smoothed statistic E[h_{t-lag} | y_{<= t}].
+            slot = jnp.maximum(inp.t - fixed_lag, 0) * statistic_dim
+            sl = jax.lax.dynamic_slice(
+                new_carry.statistics, (jnp.zeros((), slot.dtype), slot),
+                (new_carry.statistics.shape[0], statistic_dim))    # [N, d]
+            probs = normalize_log_weights(new_carry.log_weights)
+            return new_carry, probs @ sl
         return new_carry, (new_carry if save_all else None)
 
     carry, saved = jax.lax.scan(body, carry0, xs)
+
+    mean_stat = average_statistic(carry.statistics, carry.log_weights)
+    if fixed_lag is not None:
+        lag = min(fixed_lag, W)
+        final = mean_stat.reshape(W if window_length is None
+                                  else window_length, statistic_dim)
+        # lagged[t] was emitted at step t + lag; the last `lag` slots keep
+        # the final smoothed value (same conditioning set).
+        lagged = jnp.concatenate([saved[lag:], final[W - lag:W]], axis=0)
+        if final.shape[0] > W:      # zero-padded tail slots, if any
+            lagged = jnp.concatenate([lagged, final[W:]], axis=0)
+        mean_stat = lagged.reshape(-1)
 
     out = PFOutput(
         statistics=carry.statistics,
         log_weights=carry.log_weights,
         particles=carry.particles,
         loglikelihood=carry.loglik,
-        mean_statistic=average_statistic(carry.statistics, carry.log_weights),
+        mean_statistic=mean_stat,
     )
     if save_all:
         return out, saved

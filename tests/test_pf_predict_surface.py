@@ -1,0 +1,142 @@
+"""PF predict surface: `pf_y_distr` moments, PF lag modes, and the
+registry-dispatched predictive loglikelihood.
+
+Oracle strategy (VERDICT r1 item 1): on the LGSSM every PF estimate has an
+exact Kalman twin — y-moments (`lgssm/helper.py:819-846`), filtered and
+fixed-lag latent moments (`:558-648`), and the lag-1 exact predictive
+loglikelihood (`:268-309`).  PF estimates must agree within MC error.
+"""
+import jax
+import numpy as np
+import pytest
+
+from sgmcmc_tpu.inference.samplers import (GARCHSampler, GaussHMMSampler,
+                                           LGSSMSampler, SVMSampler)
+from sgmcmc_tpu.models import lgssm
+
+T = 120
+PARAMS = lgssm.from_matrices(A=np.array([[0.8]]), C=np.array([[1.0]]),
+                             Q=np.array([[0.5]]), R=np.array([[0.3]]))
+YS, XS = lgssm.generate_data(jax.random.PRNGKey(3), PARAMS, T)
+
+
+def _lgssm_sampler():
+    s = LGSSMSampler(YS, seed=0)
+    s.parameters = PARAMS
+    return s
+
+
+def test_pf_y_distr_matches_kalman():
+    s = _lgssm_sampler()
+    ex_mean, ex_cov = s.predict(target="y", kind="marginal")
+    pf_mean, pf_cov = s.predict(target="y", kind="pf", N=2000,
+                                pf="poyiadjis_N")
+    assert pf_mean.shape == ex_mean.shape
+    assert pf_cov.shape == ex_cov.shape
+    err = np.sqrt(np.mean((pf_mean - ex_mean) ** 2))
+    scale = np.sqrt(np.mean(ex_cov))
+    assert err < 0.25 * scale
+    assert np.corrcoef(pf_mean.ravel(), ex_mean.ravel())[0, 1] > 0.98
+
+
+def test_pf_lag0_is_filtered():
+    s = _lgssm_sampler()
+    ex_mean, ex_cov = lgssm.latent_var_distr(PARAMS, YS, lag=0)
+    pf_mean, pf_cov = s.predict(target="latent", kind="pf", N=2000, lag=0)
+    err = np.sqrt(np.mean((pf_mean - np.asarray(ex_mean)) ** 2))
+    assert err < 0.15 * np.sqrt(np.mean(np.asarray(ex_cov)))
+    # filtered variances positive and close on average
+    assert np.all(pf_cov > 0)
+    assert abs(np.mean(pf_cov) / np.mean(np.asarray(ex_cov)) - 1.0) < 0.25
+
+
+def test_pf_fixed_lag_matches_kalman():
+    lag = 3
+    s = _lgssm_sampler()
+    ex_mean, _ = lgssm.latent_var_distr(PARAMS, YS, lag=lag)
+    pf_mean, _ = s.predict(target="latent", kind="pf", N=2000, lag=lag)
+    err = np.sqrt(np.mean((pf_mean - np.asarray(ex_mean)) ** 2))
+    sm_mean, _ = lgssm.latent_var_distr(PARAMS, YS, lag=None)
+    fl_mean, _ = lgssm.latent_var_distr(PARAMS, YS, lag=0)
+    # the fixed-lag estimate must be closer to the exact fixed-lag answer
+    # than either the filtered or the fully smoothed alternative hypothesis
+    err_vs_filt = np.sqrt(np.mean((pf_mean - np.asarray(fl_mean)) ** 2))
+    assert err < 0.2
+    assert err < err_vs_filt
+
+
+def test_pf_lag_contract_validation():
+    s = _lgssm_sampler()
+    with pytest.raises(ValueError):
+        s.predict(target="latent", kind="pf", N=64, lag=0, pf="poyiadjis_N")
+    with pytest.raises(ValueError):
+        s.predict(target="latent", kind="pf", N=64, lag=None, pf="filter")
+
+
+def test_pf_predictive_loglik_matches_exact_lag1():
+    s = _lgssm_sampler()
+    exact1 = float(lgssm.predictive_loglikelihood(PARAMS, YS, lag=1))
+    outs = [s.predictive_loglikelihood(num_steps_ahead=1, kind="pf", N=4000)
+            for _ in range(3)]
+    pf1 = float(np.mean([o[1] for o in outs]))
+    assert abs(pf1 - exact1) < 0.02 * abs(exact1)
+
+
+def test_svm_y_distr_moments():
+    from sgmcmc_tpu.models import svm
+    p = svm.from_scalars(A=0.9, Q=0.5, R=1.0)
+    ys, xs = svm.generate_data(jax.random.PRNGKey(0), p, 150)
+    s = SVMSampler(ys, seed=1)
+    s.parameters = p
+    y_mean, y_cov = s.predict(target="y", kind="pf", N=1500)
+    assert y_mean.shape == (150, 1) and y_cov.shape == (150, 1, 1)
+    np.testing.assert_allclose(y_mean, 0.0)
+    assert np.all(y_cov > 0)
+    # E[y_t^2] = R E[exp x_t]; smoothed values should track |y| magnitude:
+    # check calibration in aggregate (mean predicted var ~ mean y^2)
+    ratio = float(np.mean(np.asarray(ys[:, 0]) ** 2) / np.mean(y_cov))
+    assert 0.5 < ratio < 2.0
+
+
+def test_garch_y_distr_moments():
+    from sgmcmc_tpu.models import garch
+    p = garch.from_alpha_beta_gamma(0.1, 0.6, 0.2, R=0.3)
+    ys, xs = garch.generate_data(jax.random.PRNGKey(0), p, 150)
+    s = GARCHSampler(ys, seed=1)
+    s.parameters = p
+    y_mean, y_cov = s.predict(target="y", kind="pf", N=1500)
+    # y = x + noise: predicted mean tracks the latent, cov >= R
+    assert np.all(y_cov > float(p.R) * 0.8)
+    rmse = np.sqrt(np.mean((y_mean[:, 0] - np.asarray(xs[:, 0])) ** 2))
+    # smoothed x-mean should beat predicting zero
+    assert rmse < np.sqrt(np.mean(np.asarray(xs[:, 0]) ** 2))
+
+
+def test_hmm_exact_predictive_via_registry():
+    from sgmcmc_tpu.models import gauss_hmm
+    prms = gauss_hmm.from_values(
+        pi=np.array([[0.9, 0.1], [0.2, 0.8]]),
+        mu=np.array([[-2.0], [2.0]]),
+        R=np.array([[[0.5]], [[0.5]]]))
+    ys, zs = gauss_hmm.generate_data(jax.random.PRNGKey(0), prms, 100)
+    s = GaussHMMSampler(ys, num_states=2, m=1, seed=0)
+    s.parameters = prms
+    val = s.predictive_loglikelihood(kind="marginal", lag=1)
+    assert np.isfinite(val)
+    # conditioning helps: lag-1 predictive beats the 3-step-ahead one
+    val3 = s.predictive_loglikelihood(kind="marginal", lag=3)
+    assert val > val3
+
+
+def test_unknown_model_pf_predictive_raises():
+    from sgmcmc_tpu.inference.samplers import ARPHMMSampler
+    from sgmcmc_tpu.models import arphmm
+    prms = arphmm.from_values(
+        pi=np.array([[0.9, 0.1], [0.2, 0.8]]),
+        D=np.array([[[0.5]], [[-0.5]]]),
+        R=np.array([[[0.5]], [[0.5]]]))
+    ys, _ = arphmm.generate_data(jax.random.PRNGKey(0), prms, 50)
+    s = ARPHMMSampler(ys, num_states=2, m=1, p=1, seed=0)
+    s.parameters = prms
+    with pytest.raises(NotImplementedError):
+        s.predictive_loglikelihood(kind="pf", N=32)
