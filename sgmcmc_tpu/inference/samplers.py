@@ -111,19 +111,18 @@ class Sampler:
                     lambda p, w, v, wt: m.windowed_marginal_gradient(
                         p, w, v, wt, B, S_eff), cfg, self.T)
             elif kind == "complete":
-                from ..models import lgssm as lgssm_mod
-                if not self.model.name.startswith("lgssm"):
+                if m.windowed_complete_gradient is None:
                     raise NotImplementedError(
-                        "kind='complete' currently supports the LGSSM")
+                        f"{m.name} has no complete-data gradient path")
                 S = cfg.subsequence_length
                 full = (S == -1) or (S >= self.T)
                 B = 0 if full else max(cfg.buffer_length, 0)
                 S_eff = self.T if full else S
                 num_samples = kwargs.get("num_samples", 1)
+                wcg = m.windowed_complete_gradient
                 score = sgmcmc.make_marginal_score_fn(
                     lambda k, p, w, v, wt:
-                    lgssm_mod.windowed_complete_gradient(
-                        p, w, v, wt, B, S_eff, k, num_samples),
+                    wcg(p, w, v, wt, B, S_eff, k, num_samples),
                     cfg, self.T, pass_key=True)
             elif kind == "pf":
                 fused = m.get_fused(kernel_name) if m.get_fused else None

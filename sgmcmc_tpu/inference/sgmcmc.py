@@ -285,11 +285,11 @@ def make_seq_marginal_score_fn(windowed_gradient_fn, config: PFScoreConfig,
     finite subsequence length each chosen sequence contributes one
     buffered [B | S | B] window (buffers clipped at that sequence's edges
     via the validity mask, unbiasedness weights from that sequence's own
-    T_i); with ``subsequence_length == -1`` every sequence's *full* exact
-    gradient is computed on its statically-sliced prefix (the reference's
-    per-sequence Python loop, here unrolled inside one jitted program) and
-    chosen sequences are selected by a permutation mask.  Either way the
-    sum is rescaled by T_total / sum(T_chosen).
+    T_i); with ``subsequence_length == -1`` every chosen sequence's *full*
+    exact gradient runs on the fixed-shape padded array with a validity
+    mask (one vmapped program — compile time and program size are
+    independent of n_seq, unlike the reference's per-sequence Python
+    loop).  Either way the sum is rescaled by T_total / sum(T_chosen).
 
     ``windowed_gradient_fn(params, window, valid, weights, B, S)`` is the
     model's windowed marginal gradient (note: B and S passed explicitly
@@ -325,6 +325,12 @@ def make_seq_marginal_score_fn(windowed_gradient_fn, config: PFScoreConfig,
                           axis=0)
         return windowed_gradient_fn(params, window, valid, weights, B, S)
 
+    def one_full(params, obs_i, T_i):
+        dtype = obs_i.dtype
+        T_max = obs_i.shape[0]
+        vld = (jnp.arange(T_max) < T_i).astype(dtype)
+        return windowed_gradient_fn(params, obs_i, vld, vld, 0, T_max)
+
     def score_fn(key, params, observations):
         key_seq, key_g = jax.random.split(key)
         dtype = observations.dtype
@@ -332,29 +338,18 @@ def make_seq_marginal_score_fn(windowed_gradient_fn, config: PFScoreConfig,
             idx = jnp.arange(n_seq)
         else:
             idx = jax.random.permutation(key_seq, n_seq)[:k_chosen]
-        chosen = jnp.zeros((n_seq,)).at[idx].set(1.0).astype(dtype)
         if full:
-            grads, logliks = [], []
-            for i in range(n_seq):          # static unroll; slices exact
-                T_i = int(lengths_np[i])
-                seq = observations[i, :T_i]
-                ones = jnp.ones((T_i,), dtype)
-                g, ll = windowed_gradient_fn(params, seq, ones, ones,
-                                             0, T_i)
-                grads.append(jax.tree_util.tree_map(
-                    lambda x: x * chosen[i], g))
-                logliks.append(ll * chosen[i])
-            grad = tree_add(*grads)
-            loglik = jnp.sum(jnp.stack(logliks))
+            grads, logliks = jax.vmap(
+                lambda i: one_full(params, observations[i],
+                                   lengths[i]))(idx)
         else:
             keys = jax.random.split(key_g, k_chosen)
             grads, logliks = jax.vmap(
                 lambda k, i: one_sequence(k, params, observations[i],
                                           lengths[i]))(keys, idx)
-            grad = jax.tree_util.tree_map(lambda g: jnp.sum(g, axis=0),
-                                          grads)
-            loglik = jnp.sum(logliks)
-        scale = T_total / jnp.sum(chosen * lengths.astype(dtype))
+        grad = jax.tree_util.tree_map(lambda g: jnp.sum(g, axis=0), grads)
+        loglik = jnp.sum(logliks)
+        scale = T_total / jnp.sum(lengths[idx]).astype(dtype)
         return jax.tree_util.tree_map(lambda g: g * scale, grad), \
             loglik * scale
 

@@ -97,20 +97,21 @@ def default_backward_message(params, dtype=None):
 
 
 def marginal_loglikelihood(params: GaussHMMParams, observations,
-                           forward_msg=None, backward_msg=None, weights=None):
+                           forward_msg=None, backward_msg=None, weights=None,
+                           valid=None):
     logP = emission_logliks(params, observations)
     if forward_msg is None:
         forward_msg = default_forward_message(params)
     if backward_msg is None:
         backward_msg = default_backward_message(params)
     return hmm.marginal_loglikelihood(logP, params.pi, forward_msg,
-                                      backward_msg, weights)
+                                      backward_msg, weights, valid)
 
 
 def gradient_marginal_loglikelihood(params: GaussHMMParams, observations,
                                     forward_msg=None, backward_msg=None,
-                                    weights=None, use_scir: bool = False
-                                    ) -> GaussHMMParams:
+                                    weights=None, use_scir: bool = False,
+                                    valid=None) -> GaussHMMParams:
     """Exact HMM gradient (`gauss_hmm/helper.py:152-228`), vectorized over t.
 
     With ``use_scir`` the pi-slot carries the Dirichlet sufficient
@@ -126,9 +127,11 @@ def gradient_marginal_loglikelihood(params: GaussHMMParams, observations,
     if backward_msg is None:
         backward_msg = default_backward_message(params)
 
+    if valid is not None:
+        weights = weights * valid
     logP = emission_logliks(params, observations)
     joint, marg = hmm.posterior_marginals(logP, params.pi, forward_msg,
-                                          backward_msg)
+                                          backward_msg, valid=valid)
     joint_sum = jnp.einsum('t,tij->ij', weights, joint)
     if use_scir:
         g_pi = joint_sum
@@ -189,10 +192,11 @@ def windowed_marginal_gradient(params: GaussHMMParams, window, valid,
     else:
         fwd, bwd = fwd0, bwd0
     sub = window[B:B + S]
+    v_sub = valid[B:B + S]
     grad = gradient_marginal_loglikelihood(params, sub, fwd, bwd, weights,
-                                           use_scir=use_scir)
+                                           use_scir=use_scir, valid=v_sub)
     loglik = hmm.marginal_loglikelihood(logP[B:B + S], params.pi, fwd, bwd,
-                                        weights)
+                                        weights, valid=v_sub)
     return grad, loglik
 
 
@@ -216,6 +220,50 @@ def latent_var_sample(params, key, observations, forward_msg=None,
         backward_msg = default_backward_message(params)
     return hmm.latent_var_sample(key, logP, params.pi, forward_msg,
                                  backward_msg)
+
+
+def complete_data_loglikelihood(params: GaussHMMParams, observations, z,
+                                z_prev=None, weights=None):
+    """log p(y, z | theta) (`gauss_hmm/helper.py:230-252` semantics),
+    differentiable in the parameters (one-hot emission selection, gathered
+    log-transition rows)."""
+    T = observations.shape[0]
+    dtype = observations.dtype
+    if weights is None:
+        weights = jnp.ones((T,), dtype)
+    logP = emission_logliks(params, observations)              # [T, K]
+    onehot = jax.nn.one_hot(z, params.num_states, dtype=dtype)
+    total = jnp.sum(weights * jnp.sum(onehot * logP, axis=-1))
+    log_pi = jnp.log(params.pi + 1e-32)
+    total += jnp.sum(weights[1:] * log_pi[z[:-1], z[1:]])
+    if z_prev is not None:
+        total += weights[0] * log_pi[z_prev, z[0]]
+    return total
+
+
+def windowed_complete_gradient(params: GaussHMMParams, window, valid,
+                               weights, B: int, S: int, key,
+                               num_samples: int = 1):
+    """kind='complete' buffered estimator: FFBS z draws over the window,
+    then the weighted complete-data score over the subsequence
+    (`_single_noisy_grad_loglikelihood` kind='complete',
+    `sgmcmc_sampler.py:330-362`).  Score = autodiff of the complete-data
+    loglikelihood (logit_pi gradient flows through the softmax)."""
+    def one_sample(k):
+        z = latent_var_sample(params, k, window)
+        z = jax.lax.stop_gradient(z)
+        z_prev = z[B - 1] if B > 0 else None
+
+        def cdl(p):
+            return complete_data_loglikelihood(
+                p, window[B:B + S], z[B:B + S], z_prev=z_prev,
+                weights=weights)
+
+        return jax.grad(cdl)(params), cdl(params)
+
+    grads, lls = jax.vmap(one_sample)(jax.random.split(key, num_samples))
+    grad = jax.tree_util.tree_map(lambda g: jnp.mean(g, axis=0), grads)
+    return grad, jnp.mean(lls)
 
 
 # --------------------------------------------------------------------------

@@ -104,14 +104,15 @@ def default_backward_message(params: LGSSMParams) -> kalman.GaussianMessage:
 # --------------------------------------------------------------------------
 
 def marginal_loglikelihood(params: LGSSMParams, observations,
-                           forward_msg=None, backward_msg=None, weights=None):
+                           forward_msg=None, backward_msg=None, weights=None,
+                           valid=None):
     if forward_msg is None:
         forward_msg = default_forward_message(params)
     if backward_msg is None:
         backward_msg = default_backward_message(params)
     return kalman.marginal_loglikelihood(
         observations, params.A, params.C, params.LQinv, params.LRinv,
-        forward_msg, backward_msg, weights)
+        forward_msg, backward_msg, weights, valid)
 
 
 def parallel_marginal_loglikelihood(params: LGSSMParams, observations,
@@ -157,8 +158,8 @@ def parallel_gradient_marginal_loglikelihood(params: LGSSMParams,
 
 def gradient_marginal_loglikelihood(params: LGSSMParams, observations,
                                     forward_msg=None, backward_msg=None,
-                                    weights=None, include_init=True
-                                    ) -> LGSSMParams:
+                                    weights=None, include_init=True,
+                                    valid=None) -> LGSSMParams:
     """Exact gradient as a LGSSMParams pytree (tril-packed Cholesky grads)."""
     if forward_msg is None:
         forward_msg = default_forward_message(params)
@@ -166,7 +167,7 @@ def gradient_marginal_loglikelihood(params: LGSSMParams, observations,
         backward_msg = default_backward_message(params)
     g = kalman.gradient_marginal_loglikelihood(
         observations, params.A, params.C, params.LQinv, params.LRinv,
-        forward_msg, backward_msg, weights, include_init)
+        forward_msg, backward_msg, weights, include_init, valid)
     return LGSSMParams(A=g['A'], C=g['C'],
                        LQinv_vec=mat_to_tril_vector(g['LQinv']),
                        LRinv_vec=mat_to_tril_vector(g['LRinv']))
@@ -319,8 +320,11 @@ def windowed_marginal_gradient(params: LGSSMParams, window, valid, weights,
                                   params.LQinv, params.LRinv, bwd0,
                                   valid=valid[B + S:]) if B else bwd0
     sub = window[B:B + S]
-    grad = gradient_marginal_loglikelihood(params, sub, fwd, bwd, weights)
-    loglik = marginal_loglikelihood(params, sub, fwd, bwd, weights)
+    v_sub = valid[B:B + S]
+    grad = gradient_marginal_loglikelihood(params, sub, fwd, bwd, weights,
+                                           valid=v_sub)
+    loglik = marginal_loglikelihood(params, sub, fwd, bwd, weights,
+                                    valid=v_sub)
     return grad, loglik
 
 

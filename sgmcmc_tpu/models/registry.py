@@ -40,6 +40,9 @@ class ModelAPI:
     marginal_loglikelihood: Callable | None = None
     gradient_marginal_loglikelihood: Callable | None = None
     windowed_marginal_gradient: Callable | None = None
+    # kind='complete' buffered estimator (FFBS latent draw + complete-data
+    # score, `sgmcmc_sampler.py:330-362`)
+    windowed_complete_gradient: Callable | None = None
     latent_var_sample: Callable | None = None
     latent_var_distr: Callable | None = None
     gibbs_step: Callable | None = None
@@ -162,6 +165,7 @@ def _lgssm_api(n: int = 1, m: int = 1) -> ModelAPI:
         gradient_marginal_loglikelihood=
         lgssm_mod.gradient_marginal_loglikelihood,
         windowed_marginal_gradient=lgssm_mod.windowed_marginal_gradient,
+        windowed_complete_gradient=lgssm_mod.windowed_complete_gradient,
         latent_var_sample=lgssm_mod.latent_var_sample,
         latent_var_distr=lgssm_mod.latent_var_distr,
         gibbs_step=lgssm_mod.gibbs_step,
@@ -204,6 +208,7 @@ def _gauss_hmm_api(num_states: int = 2, m: int = 1) -> ModelAPI:
         gradient_marginal_loglikelihood=
         gauss_hmm_mod.gradient_marginal_loglikelihood,
         windowed_marginal_gradient=gauss_hmm_mod.windowed_marginal_gradient,
+        windowed_complete_gradient=gauss_hmm_mod.windowed_complete_gradient,
         latent_var_sample=gauss_hmm_mod.latent_var_sample,
         latent_var_distr=gauss_hmm_mod.latent_var_distr,
         gibbs_step=gauss_hmm_mod.gibbs_step,
@@ -235,6 +240,7 @@ def _arphmm_api(num_states: int = 2, m: int = 1, p: int = 1) -> ModelAPI:
         gradient_marginal_loglikelihood=
         arphmm_mod.gradient_marginal_loglikelihood,
         windowed_marginal_gradient=arphmm_mod.windowed_marginal_gradient,
+        windowed_complete_gradient=arphmm_mod.windowed_complete_gradient,
         gibbs_step=arphmm_mod.gibbs_step,
         latent_var_sample=arphmm_mod.latent_var_sample,
         latent_var_distr=arphmm_mod.latent_var_distr,

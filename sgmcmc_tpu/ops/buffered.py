@@ -111,6 +111,11 @@ def run_buffered_pf(
         stat_fn = elementwise_statistic_fn(stat_fn, t1, window_length,
                                            statistic_dim)
         H = statistic_dim * window_length
+        # The elementwise carry is [N, window * dim] — orders of magnitude
+        # wider than the Pallas resample-apply kernel's VMEM budget.  Route
+        # the statistic resampling through plain gathers.
+        if resample_mode in ("auto", "pallas", "pallas2", "fused"):
+            resample_mode = "gather"
 
     step = make_smoother_step(smoother, kernel, stat_fn,
                               resampler_name=resampler, lambduh=lambduh,

@@ -141,9 +141,11 @@ def parallel_marginal_loglikelihood(logP, Pi, forward_msg: HMMMessage,
 
 
 def marginal_loglikelihood(logP, Pi, forward_msg: HMMMessage,
-                           backward_msg: HMMMessage, weights=None):
-    """`marginal_loglikelihood` (`hmm_helper.py:117-142`)."""
-    fwd = forward_messages(logP, Pi, forward_msg, weights)
+                           backward_msg: HMMMessage, weights=None,
+                           valid=None):
+    """`marginal_loglikelihood` (`hmm_helper.py:117-142`).  ``valid``
+    gates steps for fixed-shape padded sequences."""
+    fwd = forward_messages(logP, Pi, forward_msg, weights, valid)
     last = HMMMessage(fwd.prob[-1], fwd.log_constant[-1])
     lik = last.prob @ backward_msg.prob
     w_last = 1.0 if weights is None else weights[-1]
@@ -151,15 +153,17 @@ def marginal_loglikelihood(logP, Pi, forward_msg: HMMMessage,
                                          + backward_msg.log_constant)
 
 
-def posterior_marginals(logP, Pi, forward_msg, backward_msg):
+def posterior_marginals(logP, Pi, forward_msg, backward_msg, valid=None):
     """Pairwise and singleton smoothed posteriors for every t.
 
     joint[t] = Pr(z_{t-1}, z_t | y) (normalized [K, K]),
     marg[t] = Pr(z_t | y) [K] — the quantities driving the gradient
-    (`gauss_hmm/helper.py:175-195`).
+    (`gauss_hmm/helper.py:175-195`).  With ``valid``, invalid steps pass
+    messages through (their rows are garbage but must be weight-gated by
+    the caller).
     """
-    fwd = forward_messages(logP, Pi, forward_msg)
-    bwd = backward_messages(logP, Pi, backward_msg)
+    fwd = forward_messages(logP, Pi, forward_msg, valid=valid)
+    bwd = backward_messages(logP, Pi, backward_msg, valid=valid)
     r = fwd.prob[:-1]                                  # [T, K]
     q = bwd.prob[1:]                                   # [T, K]
     m = jnp.max(logP, axis=-1, keepdims=True)

@@ -174,10 +174,12 @@ def backward_message(observations, A, C, LQinv, LRinv,
 def marginal_loglikelihood(observations, A, C, LQinv, LRinv,
                            forward_msg: GaussianMessage,
                            backward_msg: GaussianMessage,
-                           weights=None):
+                           weights=None, valid=None):
     """Exact log p(y_{1:T}) by fusing the final forward message with the
-    backward boundary message (`lgssm/helper.py:195-233`)."""
-    f = forward_message(observations, A, C, LQinv, LRinv, forward_msg, weights)
+    backward boundary message (`lgssm/helper.py:195-233`).  ``valid``
+    gates steps for fixed-shape padded sequences."""
+    f = forward_message(observations, A, C, LQinv, LRinv, forward_msg,
+                        weights, valid)
     hf, Jf = f.mean_precision, f.precision
     hc = hf + backward_msg.mean_precision
     Jc = Jf + backward_msg.precision
@@ -193,13 +195,18 @@ def marginal_loglikelihood(observations, A, C, LQinv, LRinv,
 def gradient_marginal_loglikelihood(observations, A, C, LQinv, LRinv,
                                     forward_msg: GaussianMessage,
                                     backward_msg: GaussianMessage,
-                                    weights=None, include_init: bool = True):
+                                    weights=None, include_init: bool = True,
+                                    valid=None):
     """Fisher-identity gradient of log p(y) wrt (A, C, LQinv, LRinv).
 
     Vectorized version of `gradient_marginal_loglikelihood`
     (`lgssm/helper.py:312-420`): smoothed singleton moments drive the
     emission gradients, smoothed pairwise moments the transition gradients;
     both are batched solves + einsums over the stacked messages.
+
+    ``valid`` (float {0,1} per step) supports fixed-shape zero-padded
+    sequences: invalid steps pass messages through unchanged and carry zero
+    weight in every contribution sum.
 
     Returns a dict {A, C, LQinv, LRinv} of *matrix* gradients; packing the
     Cholesky gradients to tril vectors is the caller's concern.
@@ -209,9 +216,13 @@ def gradient_marginal_loglikelihood(observations, A, C, LQinv, LRinv,
     n = A.shape[0]
     if weights is None:
         weights = jnp.ones((T,), dtype)
+    if valid is not None:
+        weights = weights * valid
 
-    fmsgs = forward_messages(observations, A, C, LQinv, LRinv, forward_msg)
-    bmsgs = backward_messages(observations, A, C, LQinv, LRinv, backward_msg)
+    fmsgs = forward_messages(observations, A, C, LQinv, LRinv, forward_msg,
+                             valid=valid)
+    bmsgs = backward_messages(observations, A, C, LQinv, LRinv, backward_msg,
+                              valid=valid)
 
     Qinv, Rinv, AtQinv, CtRinv = _mats(A, C, LQinv, LRinv)
     QinvA = Qinv @ A
