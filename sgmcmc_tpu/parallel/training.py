@@ -26,20 +26,38 @@ def make_distributed_sgld_step(
         kernel: ParticleKernel, stat_fn: StatisticFn, statistic_dim: int,
         unpack, grad_logprior_fn, config: PFScoreConfig, T: int,
         mesh: Mesh, epsilon: float, prior_mean_var_fn=None,
-        project_fn=None, is_scaled: bool = True, fused_model=None):
+        project_fn=None, is_scaled: bool = True, fused_model=None,
+        island_fused: bool = False):
     """Build step(keys [n_chains], params_stack, observations[T, m]).
 
     ``keys``/``params_stack`` have their chain axis sharded over the mesh's
     'chain' axis; observations are replicated.  Each chain's PF runs with
     N = config.n_particles split across the 'particle' axis.
+
+    ``island_fused``: with a sharded particle axis, run the fused Pallas
+    window kernel *per shard* as an island particle filter — each device
+    runs an independent N/P-particle filter (its own resampling) and the
+    per-island Fisher-identity scores / loglikelihoods are psum-averaged.
+    This keeps the fused kernel's VMEM-resident window under particle
+    sharding (the 2.8x lever) at a statistical trade: the island estimator
+    averages P independent N/P-particle scores instead of one N-particle
+    score, so per-island smoother bias corresponds to the smaller island
+    size (Vergé et al. 2015 island PF).  Exact global resampling per step
+    is fundamentally incompatible with whole-window kernel fusion —
+    collectives cannot run inside a Pallas call.
     """
     n_particle_shards = mesh.shape["particle"]
     if config.n_particles % n_particle_shards:
         raise ValueError("n_particles must divide the particle mesh axis")
     n_local = config.n_particles // n_particle_shards
-    # the fused window kernel applies when the particle axis is unsharded
-    use_fused = n_particle_shards == 1 and _fused_eligible(config,
-                                                           fused_model)
+    # the fused window kernel applies when the particle axis is unsharded,
+    # or per-shard in island mode
+    fused_ok = _fused_eligible(config, fused_model)
+    use_fused = n_particle_shards == 1 and fused_ok
+    use_island = (island_fused and n_particle_shards > 1 and fused_ok
+                  and n_local % 8 == 0)
+    fused_interpret = (use_fused or use_island) and \
+        jax.default_backend() != "tpu"
     S = config.subsequence_length
     full = (S == -1) or (S >= T)
     W = T if full else window_length(S, config.buffer_length, T)
@@ -66,19 +84,32 @@ def make_distributed_sgld_step(
                 pm, pv = jnp.zeros((), dtype), jnp.asarray(10.0, dtype)
             else:
                 pm, pv = prior_mean_var_fn(params)
-            if use_fused:
+            if use_fused or use_island:
                 from ..ops.pallas.fused_pf import fused_pf_score
                 lam = 1.0 if config.smoother == "poyiadjis_N" \
                     else config.lambduh
-                return fused_pf_score(
-                    fused_model, kp, params, window, step_w,
-                    config.n_particles, pm, pv, lambduh=lam)
+                if use_fused:
+                    return fused_pf_score(
+                        fused_model, kp, params, window, step_w,
+                        config.n_particles, pm, pv, lambduh=lam,
+                        interpret=fused_interpret)
+                # island mode: independent per-shard filter, psum-averaged
+                kp = jax.random.fold_in(kp,
+                                        jax.lax.axis_index("particle"))
+                stat, ll = fused_pf_score(
+                    fused_model, kp, params, window, step_w, n_local,
+                    pm, pv, lambduh=lam, interpret=fused_interpret)
+                P = float(n_particle_shards)
+                return (jax.lax.psum(stat, "particle") / P,
+                        jax.lax.psum(ll, "particle") / P)
             return run_buffered_pf_sharded(
                 kernel, stat_fn, params, window, key=kp, n_local=n_local,
                 statistic_dim=statistic_dim, smoother=config.smoother,
                 step_weights=step_w, in_window=in_win,
                 prior_mean=pm, prior_var=pv, resampler=config.resampler,
-                lambduh=config.lambduh)
+                lambduh=config.lambduh, n_tilde=config.n_tilde,
+                ess_threshold=config.ess_threshold,
+                bw_chunk=config.bw_chunk)
 
         stats, logliks = jax.vmap(one_window)(
             jax.random.split(key_pf, config.minibatch_size))

@@ -155,3 +155,114 @@ def test_initialize_multi_host_single_process():
                               "JAX_PLATFORMS": ""})
     assert out.returncode == 0, out.stderr
     assert "ok" in out.stdout
+
+
+def test_sharded_paris_matches_kalman(mesh):
+    """Particle-sharded PaRIS score ~= exact Kalman gradient (sharded
+    feature-gap item: VERDICT r1 #3)."""
+    params = lgssm.from_matrices(A=[[0.8]], C=[[1.0]], Q=[[0.5]], R=[[0.7]])
+    ys, _ = lgssm.generate_data(jax.random.PRNGKey(5), params, 16)
+    exact = lgssm.gradient_marginal_loglikelihood(params, ys)
+    expected = np.concatenate([
+        np.asarray(exact.LRinv_vec), np.asarray(exact.LQinv_vec),
+        np.asarray(exact.C).ravel(), np.asarray(exact.A).ravel()])
+
+    def local(key, obs):
+        return pf_shard.run_buffered_pf_sharded(
+            lgssm.get_kernel("optimal"), lgssm.grad_statistic, params, obs,
+            key=key, n_local=256, statistic_dim=lgssm.statistic_dim(1, 1),
+            smoother="paris", n_tilde=2,
+            prior_mean=jnp.zeros(1, ys.dtype),
+            prior_var=10.0 * jnp.eye(1, dtype=ys.dtype))
+
+    f = jax.jit(shard_map(local, mesh=mesh, in_specs=(P(), P()),
+                          out_specs=(P(), P()), check_vma=False))
+    reps = 12
+    stats = []
+    for i in range(reps):
+        mean_stat, ll = f(jax.random.PRNGKey(300 + i), ys)
+        stats.append(np.asarray(mean_stat))
+        assert np.isfinite(float(ll))
+    mean_stat = np.mean(stats, axis=0)
+    se = np.std(stats, axis=0) / np.sqrt(reps)
+    err = np.abs(mean_stat - expected)
+    assert np.all(err < 5 * se + 0.05 * np.abs(expected) + 0.05), (
+        mean_stat, expected, se)
+
+
+def test_sharded_n2_bw_chunk_matches_dense(mesh):
+    """bw_chunk streaming of the sharded [N_loc, N] block changes only GEMM
+    tiling: chunked == dense for identical keys."""
+    params = lgssm.from_matrices(A=[[0.8]], C=[[1.0]], Q=[[0.5]], R=[[0.7]])
+    ys, _ = lgssm.generate_data(jax.random.PRNGKey(6), params, 10)
+
+    def make(bw_chunk):
+        def local(key, obs):
+            return pf_shard.run_buffered_pf_sharded(
+                lgssm.get_kernel("optimal"), lgssm.grad_statistic, params,
+                obs, key=key, n_local=128,
+                statistic_dim=lgssm.statistic_dim(1, 1),
+                smoother="poyiadjis_N2", bw_chunk=bw_chunk,
+                prior_mean=jnp.zeros(1, ys.dtype),
+                prior_var=10.0 * jnp.eye(1, dtype=ys.dtype))
+        return jax.jit(shard_map(local, mesh=mesh, in_specs=(P(), P()),
+                                 out_specs=(P(), P()), check_vma=False))
+
+    key = jax.random.PRNGKey(77)
+    dense_stat, dense_ll = make(None)(key, ys)
+    chunk_stat, chunk_ll = make(32)(key, ys)
+    np.testing.assert_allclose(np.asarray(chunk_stat),
+                               np.asarray(dense_stat), rtol=1e-6)
+    np.testing.assert_allclose(float(chunk_ll), float(dense_ll), rtol=1e-9)
+
+
+def test_sharded_ess_threshold_matches_kalman(mesh):
+    """Globally-ESS-gated adaptive resampling stays a valid estimator:
+    sharded filter loglik with ess_threshold ~= exact Kalman loglik."""
+    params = lgssm.from_matrices(A=[[0.8]], C=[[1.0]], Q=[[0.5]], R=[[0.7]])
+    ys, _ = lgssm.generate_data(jax.random.PRNGKey(8), params, 20)
+    exact_ll = float(lgssm.marginal_loglikelihood(params, ys))
+
+    def local(key, obs):
+        return pf_shard.run_buffered_pf_sharded(
+            lgssm.get_kernel("optimal"), lgssm.suff_statistic, params, obs,
+            key=key, n_local=256, statistic_dim=3, smoother="filter",
+            ess_threshold=0.5,
+            prior_mean=jnp.zeros(1, ys.dtype),
+            prior_var=10.0 * jnp.eye(1, dtype=ys.dtype))
+
+    f = jax.jit(shard_map(local, mesh=mesh, in_specs=(P(), P()),
+                          out_specs=(P(), P()), check_vma=False))
+    lls = [float(f(jax.random.PRNGKey(400 + i), ys)[1]) for i in range(10)]
+    assert abs(np.mean(lls) - exact_ll) < 0.05 * abs(exact_ll), (
+        np.mean(lls), exact_ll)
+
+
+def test_island_fused_distributed_step(mesh):
+    """island_fused: the fused Pallas window kernel runs per particle shard
+    (interpret mode on CPU) and the psum-averaged island scores drive a
+    working SGLD step."""
+    T = 32
+    true = svm.from_scalars(A=0.9, Q=0.5, R=1.0)
+    ys, _ = svm.generate_data(jax.random.PRNGKey(9), true, T)
+    prior = svm.default_prior()
+    cfg = sgmcmc.PFScoreConfig(n_particles=32, subsequence_length=8,
+                               buffer_length=2, smoother="poyiadjis_N",
+                               resampler="systematic",
+                               resample_mode="fused")
+    step = training.make_distributed_sgld_step(
+        svm.KERNEL, svm.grad_statistic, svm.STATISTIC_DIM, svm.unpack_grad,
+        lambda p: svm.grad_logprior(prior, p), cfg, T, mesh, epsilon=0.05,
+        prior_mean_var_fn=lambda p: (0.0, svm.stationary_variance(p)),
+        project_fn=svm.project_parameters, fused_model=svm.get_fused(None),
+        island_fused=True)
+    n_chains = 8
+    keys = jax.random.split(jax.random.PRNGKey(10), n_chains)
+    params0 = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(jnp.asarray(x, jnp.float32),
+                                   (n_chains,) + jnp.shape(x)),
+        svm.from_scalars(A=0.5, Q=1.0, R=2.0))
+    new, ll = jax.jit(step)(keys, params0, jnp.asarray(ys, jnp.float32))
+    for leaf in jax.tree_util.tree_leaves(new):
+        assert np.all(np.isfinite(np.asarray(leaf)))
+    assert np.all(np.isfinite(np.asarray(ll)))
