@@ -536,7 +536,8 @@ class Sampler:
     # -- prediction / latent recovery --------------------------------------
     def predict(self, target: str = "latent", kind: str | None = None,
                 pf: str | None = None, N: int = 1000, squared=False,
-                lag=None, num_samples: int | None = None, **kwargs):
+                lag=None, num_samples: int | None = None,
+                distr: str | None = None, **kwargs):
         """Latent/observation prediction (`predict`,
         `sgmcmc_sampler.py:956-1123`; PF path `pf_latent_var_distr` /
         `pf_y_distr`, e.g. `svm/helper.py:249-294`).
@@ -544,8 +545,11 @@ class Sampler:
         target 'latent' or 'y'; ``lag`` selects p(. | y_{<= t+lag}):
         None = smoothed, 0 = filtered (PF path: forces ``pf='filter'``,
         matching `svm/helper.py:253-258`), k >= 1 = fixed-lag.
-        ``num_samples`` switches from distributions to joint posterior
-        draws (`latent_var_sample` / `y_sample`; exact-message path only).
+        ``num_samples`` switches from distributions to posterior draws
+        (`latent_var_sample` / `y_sample`; exact-message path only);
+        ``distr`` selects 'joint' (default, FFBS paths) or 'marginal'
+        (independent per-t draws) as in the reference `predict`
+        (`sgmcmc_sampler.py:956-1045`).
         """
         if target not in ("latent", "y"):
             raise ValueError(f"Unrecognized target '{target}'")
@@ -561,7 +565,8 @@ class Sampler:
                           else lgssm_mod.y_sample)
                     return np.asarray(fn(p, self.next_key(),
                                          self.observations,
-                                         num_samples=num_samples))
+                                         num_samples=num_samples,
+                                         distr=distr or "joint", lag=lag))
                 fn = (lgssm_mod.latent_var_distr if target == "latent"
                       else lgssm_mod.y_distr)
                 mean, cov = fn(p, self.observations, lag=lag)
@@ -571,7 +576,8 @@ class Sampler:
                 if num_samples is not None:
                     return np.asarray(m.latent_var_sample(
                         self.parameters, self.next_key(),
-                        self.observations))
+                        self.observations, distr=distr or "joint", lag=lag,
+                        num_samples=num_samples))
                 return np.asarray(m.latent_var_distr(
                     self.parameters, self.observations, lag=lag))
             raise NotImplementedError(

@@ -220,14 +220,35 @@ def latent_var_distr(params, observations, forward_msg=None,
 
 
 def latent_var_sample(params, key, observations, forward_msg=None,
-                      backward_msg=None):
-    logP = emission_logliks(params, observations)
-    if forward_msg is None:
-        forward_msg = default_forward_message(params)
-    if backward_msg is None:
-        backward_msg = default_backward_message(params)
-    return hmm.latent_var_sample(key, logP, params.pi, forward_msg,
-                                 backward_msg)
+                      backward_msg=None, distr: str = "joint", lag=None,
+                      num_samples: int = 1):
+    """Posterior z draws: ``distr='joint'`` FFBS paths;
+    ``distr='marginal'`` independent per-t categorical draws from the
+    (optionally lagged) marginals (reference `predict` contract,
+    `sgmcmc_sampler.py:1025-1045`)."""
+    if distr == "joint":
+        if lag is not None:
+            raise ValueError("Must set distr to 'marginal' for lag != None")
+        logP = emission_logliks(params, observations)
+        if forward_msg is None:
+            forward_msg = default_forward_message(params)
+        if backward_msg is None:
+            backward_msg = default_backward_message(params)
+        if num_samples == 1:
+            return hmm.latent_var_sample(key, logP, params.pi, forward_msg,
+                                         backward_msg)
+        return jax.vmap(lambda k: hmm.latent_var_sample(
+            k, logP, params.pi, forward_msg, backward_msg))(
+            jax.random.split(key, num_samples))
+    if distr != "marginal":
+        raise ValueError(f"Unrecognized distr '{distr}'")
+    probs = latent_var_distr(params, observations, forward_msg,
+                             backward_msg, lag=lag)
+    logits = jnp.log(probs + 1e-300)
+    z = jax.vmap(lambda k: jax.vmap(jax.random.categorical)(
+        jax.random.split(k, logits.shape[0]), logits))(
+        jax.random.split(key, num_samples)).astype(jnp.int32)
+    return z[0] if num_samples == 1 else z
 
 
 def complete_data_loglikelihood(params: ARPHMMParams, observations, z,

@@ -183,12 +183,30 @@ def predictive_loglikelihood(params: LGSSMParams, observations, lag=1,
 
 
 def latent_var_sample(params: LGSSMParams, key, observations,
-                      forward_msg=None, num_samples: int = 1):
-    if forward_msg is None:
-        forward_msg = default_forward_message(params)
-    return kalman.ffbs_sample(key, observations, params.A, params.C,
-                              params.LQinv, params.LRinv, forward_msg,
-                              num_samples)
+                      forward_msg=None, num_samples: int = 1,
+                      distr: str = "joint", lag=None, backward_msg=None):
+    """Posterior latent draws (`latent_var_sample`,
+    `lgssm/helper.py:650-732`): ``distr='joint'`` FFBS paths;
+    ``distr='marginal'`` independent per-t draws from the (optionally
+    lagged) marginals."""
+    if distr == "joint":
+        if lag is not None:
+            raise ValueError("Must set distr to 'marginal' for lag != None")
+        if forward_msg is None:
+            forward_msg = default_forward_message(params)
+        return kalman.ffbs_sample(key, observations, params.A, params.C,
+                                  params.LQinv, params.LRinv, forward_msg,
+                                  num_samples)
+    if distr != "marginal":
+        raise ValueError(f"Unrecognized distr '{distr}'")
+    mean, cov = latent_var_distr(params, observations, lag=lag,
+                                 forward_msg=forward_msg,
+                                 backward_msg=backward_msg)
+    L = jnp.linalg.cholesky(cov)                      # [T, n, n]
+    z = jax.random.normal(key, (num_samples,) + mean.shape,
+                          observations.dtype)         # [S, T, n]
+    x = mean[None] + jnp.einsum('tij,stj->sti', L, z)
+    return x[0] if num_samples == 1 else x
 
 
 def latent_var_distr(params: LGSSMParams, observations, lag=None,
@@ -222,12 +240,13 @@ def y_distr(params: LGSSMParams, observations, lag=None,
 
 
 def y_sample(params: LGSSMParams, key, observations, num_samples: int = 1,
-             forward_msg=None):
-    """Joint posterior-predictive draws of y_{0:T-1}: FFBS latent paths
-    plus emission noise (`y_sample`, `lgssm/helper.py:880-909`)."""
+             forward_msg=None, distr: str = "joint", lag=None):
+    """Posterior-predictive draws of y_{0:T-1}: latent draws (joint FFBS
+    paths or per-t marginals, per ``distr``) plus emission noise
+    (`y_sample`, `lgssm/helper.py:880-909`)."""
     key_x, key_eps = jax.random.split(key)
     x = latent_var_sample(params, key_x, observations, forward_msg,
-                          num_samples)
+                          num_samples, distr=distr, lag=lag)
     LR = jnp.linalg.cholesky(params.R)
     eps = jax.random.normal(key_eps, x.shape[:-1] + (params.m,),
                             observations.dtype)

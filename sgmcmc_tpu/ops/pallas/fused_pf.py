@@ -120,7 +120,7 @@ def _box_muller(shape):
 
 def _fused_window_kernel(model: FusedModel, W: int, s: int, B: int,
                          lambduh: float, ess_threshold: float | None,
-                         kernel_rng: bool, qp_merge: int,
+                         kernel_rng: bool, qp_merge: int, hi_only: bool,
                          pvec_ref,      # [CB, P, B] f32 VMEM (lane-replicated)
                          x0_ref,        # [CB, D*s, B] f32 VMEM
                          normals_ref,   # [CB, W, Z*s, B] f32 VMEM, or (with
@@ -207,9 +207,15 @@ def _fused_window_kernel(model: FusedModel, W: int, s: int, B: int,
 
         # ---- two-level gather operands (zero relayouts by construction)
         vhi = V.astype(jnp.bfloat16)
-        vlo = (V - vhi.astype(fdt)).astype(jnp.bfloat16)
         chi, cmid, clo = _split3_kernel(cdf)
-        W1 = jnp.concatenate([vhi, vlo, chi, cmid, clo], axis=1)
+        if hi_only:
+            # lossy structural variant: single bf16 row per value (the CDF
+            # rows stay 3-split-exact so resampling indices are unchanged);
+            # gathered values round to bf16 (~8-bit mantissa)
+            W1 = jnp.concatenate([vhi, chi, cmid, clo], axis=1)
+        else:
+            vlo = (V - vhi.astype(fdt)).astype(jnp.bfloat16)
+            W1 = jnp.concatenate([vhi, vlo, chi, cmid, clo], axis=1)
         # block boundaries = last cdf row; cdf is cumulative in q, so the
         # sublane max IS row s-1 (and carries a broadcast-safe layout)
         bnd_row = jnp.max(cdf, axis=1, keepdims=True)         # [CB,1,B]
@@ -242,10 +248,15 @@ def _fused_window_kernel(model: FusedModel, W: int, s: int, B: int,
                 qp = qp0 + gi
                 Gq = G if qp_merge == 1 else \
                     G[:, :, gi * B:(gi + 1) * B]
-                vals = Gq[:, :Ks] + Gq[:, Ks:2 * Ks]          # [CB,K*s,B']
-                c = (Gq[:, 2 * Ks:2 * Ks + s]
-                     + Gq[:, 2 * Ks + s:2 * Ks + 2 * s]) \
-                    + Gq[:, 2 * Ks + 2 * s:2 * Ks + 3 * s]    # exact f32
+                if hi_only:
+                    vals = Gq[:, :Ks]                         # [CB,K*s,B']
+                    c0 = Ks
+                else:
+                    vals = Gq[:, :Ks] + Gq[:, Ks:2 * Ks]
+                    c0 = 2 * Ks
+                c = (Gq[:, c0:c0 + s]
+                     + Gq[:, c0 + s:c0 + 2 * s]) \
+                    + Gq[:, c0 + 2 * s:c0 + 3 * s]            # exact f32
                 posr = (s * lane_iota + (qp + xi_t)) / N      # [CB,1,B']
                 M2 = (posr >= c).astype(fdt)
                 ones2 = jnp.ones_like(M2[:, :1])
@@ -304,7 +315,7 @@ def _fused_window_kernel(model: FusedModel, W: int, s: int, B: int,
 
 @functools.partial(jax.jit, static_argnames=(
     "model", "lambduh", "chain_block", "interpret", "ess_threshold",
-    "kernel_rng", "qp_merge"))
+    "kernel_rng", "qp_merge", "hi_only"))
 def fused_window_batched(model: FusedModel,
                          pvec: jax.Array,      # [C, P]
                          x0: jax.Array,        # [C, D*s, B]
@@ -318,7 +329,8 @@ def fused_window_batched(model: FusedModel,
                          interpret: bool = False,
                          ess_threshold: float | None = None,
                          kernel_rng: bool = False,
-                         qp_merge: int = 1):
+                         qp_merge: int = 1,
+                         hi_only: bool = False):
     """Run the fused window for a batch of chains.
 
     Returns (mean_statistic [C, H], loglikelihood [C]).
@@ -349,7 +361,7 @@ def fused_window_batched(model: FusedModel,
         normals_arg = normals.astype(fdt)
     out = pl.pallas_call(
         functools.partial(_fused_window_kernel, model, W, s, B, lambduh,
-                          ess_threshold, kernel_rng, qp_merge),
+                          ess_threshold, kernel_rng, qp_merge, hi_only),
         grid=(C // CB,),
         in_specs=[
             pl.BlockSpec((CB, pvec.shape[-1], B), lambda i: (i, 0, 0),
@@ -401,7 +413,8 @@ def _bc(x, batched, n):
 @functools.lru_cache(maxsize=None)
 def _fused_callable(model: FusedModel, lambduh: float, interpret: bool,
                     ess_threshold: float | None = None,
-                    kernel_rng: bool = False, qp_merge: int = 1):
+                    kernel_rng: bool = False, qp_merge: int = 1,
+                    hi_only: bool = False):
     """Single-chain fused call whose vmap collapses into real chain
     batches (nested vmaps flatten)."""
 
@@ -416,7 +429,7 @@ def _fused_callable(model: FusedModel, lambduh: float, interpret: bool,
                                     interpret=interpret,
                                     ess_threshold=ess_threshold,
                                     kernel_rng=kernel_rng,
-                                    qp_merge=qp_merge)
+                                    qp_merge=qp_merge, hi_only=hi_only)
 
     @flat.def_vmap
     def flat_vmap(axis_size, in_batched, *args):
@@ -432,7 +445,7 @@ def _fused_callable(model: FusedModel, lambduh: float, interpret: bool,
             model, pvec[None], x0[None], normals[None], ys[None],
             weights[None], xi[None], lambduh=lambduh, chain_block=1,
             interpret=interpret, ess_threshold=ess_threshold,
-            kernel_rng=kernel_rng, qp_merge=qp_merge)
+            kernel_rng=kernel_rng, qp_merge=qp_merge, hi_only=hi_only)
         return ms[0], ll[0]
 
     @single.def_vmap
@@ -447,12 +460,18 @@ def fused_pf_score(model: FusedModel, key, params, window, step_weights,
                    n_particles: int, prior_mean, prior_var,
                    lambduh: float = 1.0, interpret: bool = False,
                    ess_threshold: float | None = None,
-                   rng: str = "host", qp_merge: int = 1):
+                   rng: str = "host", qp_merge: int = 1,
+                   gather: str = "exact"):
     """Single-chain fused buffered-PF score: (mean_stat [H], loglik).
 
     Draws x0, per-step proposal normals, and systematic offsets from
     ``key``, then runs the fused kernel; under vmap, chains collapse into
     chain-blocked kernel batches.
+
+    ``gather='bf16'`` drops the bf16-lo value rows from the one-hot gather
+    dot (R: 2Ks+3s -> Ks+3s, -36%% MXU work at K=4): gathered carries
+    round to bf16 each step.  Lossy — see BENCH_NOTES for the measured
+    speed/accuracy trade; default 'exact' reconstructs f32 bitwise.
 
     ``rng='kernel'`` generates the proposal normals *inside* the kernel
     (hardware PRNG + Box-Muller) instead of streaming a [W, D*s, B] array
@@ -490,5 +509,5 @@ def fused_pf_score(model: FusedModel, key, params, window, step_weights,
     fn = _fused_callable(model, float(lambduh), bool(interpret),
                          None if ess_threshold is None
                          else float(ess_threshold), kernel_rng,
-                         int(qp_merge))
+                         int(qp_merge), gather == "bf16")
     return fn(pvec, x0, normals, ys, step_weights.astype(jnp.float32), xi)

@@ -190,3 +190,65 @@ def test_hmm_lag_modes():
                         parameters=prms, seed=0)
     probs = s.predict(target="latent", kind="marginal", lag=0)
     np.testing.assert_allclose(probs, np.asarray(filt), rtol=1e-10)
+
+
+def test_marginal_distr_latent_sampling_matches_moments():
+    """distr='marginal' draws match the per-t moments of latent_var_distr
+    (reference `predict` contract, `sgmcmc_sampler.py:1025-1045`)."""
+    import jax
+    mean, cov = lgssm.latent_var_distr(PARAMS, YS, lag=None)
+    S = 4000
+    x = lgssm.latent_var_sample(PARAMS, jax.random.PRNGKey(0), YS,
+                                num_samples=S, distr="marginal")
+    assert x.shape == (S,) + np.asarray(mean).shape
+    emp_mean = np.mean(np.asarray(x), axis=0)
+    emp_var = np.var(np.asarray(x), axis=0)
+    se = np.sqrt(np.asarray(cov)[:, 0, 0] / S)
+    assert np.all(np.abs(emp_mean - np.asarray(mean)) < 5 * se + 1e-3)
+    np.testing.assert_allclose(np.mean(emp_var),
+                               np.mean(np.asarray(cov)[:, 0, 0]), rtol=0.1)
+    # lagged marginal sampling threads lag through
+    xf = lgssm.latent_var_sample(PARAMS, jax.random.PRNGKey(1), YS,
+                                 num_samples=1000, distr="marginal", lag=0)
+    f_mean, _ = lgssm.latent_var_distr(PARAMS, YS, lag=0)
+    err = np.mean(np.asarray(xf), axis=0) - np.asarray(f_mean)
+    assert np.sqrt(np.mean(err ** 2)) < 0.1
+    # joint + lag is a contract violation
+    import pytest
+    with pytest.raises(ValueError):
+        lgssm.latent_var_sample(PARAMS, jax.random.PRNGKey(2), YS,
+                                distr="joint", lag=1)
+
+
+def test_marginal_distr_y_sampling():
+    import jax
+    y_mean, y_cov = lgssm.y_distr(PARAMS, YS, lag=None)
+    S = 3000
+    y = lgssm.y_sample(PARAMS, jax.random.PRNGKey(3), YS, num_samples=S,
+                       distr="marginal")
+    emp = np.mean(np.asarray(y), axis=0)
+    se = np.sqrt(np.asarray(y_cov)[:, 0, 0] / S)
+    assert np.all(np.abs(emp - np.asarray(y_mean)) < 5 * se + 1e-3)
+
+
+def test_hmm_marginal_z_sampling_matches_probs():
+    import jax
+    from sgmcmc_tpu.models import gauss_hmm
+    prms = gauss_hmm.from_values(
+        pi=np.array([[0.9, 0.1], [0.2, 0.8]]),
+        mu=np.array([[-2.0], [2.0]]),
+        R=np.array([[[0.5]], [[0.5]]]))
+    ys, _ = gauss_hmm.generate_data(jax.random.PRNGKey(4), prms, 60)
+    probs = np.asarray(gauss_hmm.latent_var_distr(prms, ys))
+    S = 2000
+    z = gauss_hmm.latent_var_sample(prms, jax.random.PRNGKey(5), ys,
+                                    distr="marginal", num_samples=S)
+    freq = np.mean(np.asarray(z) == 1, axis=0)
+    assert np.max(np.abs(freq - probs[:, 1])) < 0.06
+    # sampler dispatch
+    from sgmcmc_tpu.inference.samplers import GaussHMMSampler
+    s = GaussHMMSampler(ys, num_states=2, m=1, seed=0)
+    s.parameters = prms
+    draws = s.predict(target="latent", kind="marginal", num_samples=8,
+                      distr="marginal")
+    assert draws.shape == (8, 60)
