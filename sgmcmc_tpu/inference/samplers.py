@@ -105,7 +105,8 @@ class Sampler:
                         f"{m.name} has no analytic message passing")
                 S = cfg.subsequence_length
                 full = (S == -1) or (S >= self.T)
-                B = 0 if full else max(cfg.buffer_length, 0)
+                B = 0 if full else (self.T if cfg.buffer_length == -1
+                                    else max(cfg.buffer_length, 0))
                 S_eff = self.T if full else S
                 score = sgmcmc.make_marginal_score_fn(
                     lambda p, w, v, wt: m.windowed_marginal_gradient(
@@ -116,7 +117,8 @@ class Sampler:
                         f"{m.name} has no complete-data gradient path")
                 S = cfg.subsequence_length
                 full = (S == -1) or (S >= self.T)
-                B = 0 if full else max(cfg.buffer_length, 0)
+                B = 0 if full else (self.T if cfg.buffer_length == -1
+                                    else max(cfg.buffer_length, 0))
                 S_eff = self.T if full else S
                 num_samples = kwargs.get("num_samples", 1)
                 wcg = m.windowed_complete_gradient
@@ -1156,7 +1158,8 @@ class SCIRSamplerMixin:
         if cache_key not in self._cache:
             S = cfg.subsequence_length
             full = (S == -1) or (S >= T)
-            B = 0 if full else max(cfg.buffer_length, 0)
+            B = 0 if full else (T if cfg.buffer_length == -1
+                                else max(cfg.buffer_length, 0))
             S_eff = T if full else S
             score = sgmcmc.make_marginal_score_fn(
                 lambda p, w, v, wt: m.windowed_marginal_gradient(

@@ -197,7 +197,10 @@ def make_seq_pf_score_fn(kernel: ParticleKernel, stat_fn: StatisticFn,
     S = config.subsequence_length
     full = S == -1
     min_len = int(jnp.min(lengths))
-    if full:
+    # buffer_length == -1: buffer to the whole sequence (full padded
+    # window; steps beyond T_i carry zero weight and only feed the filter)
+    full_buffers = config.buffer_length == -1
+    if full or full_buffers:
         W = None  # set per call from the packed T_max
     else:
         W = S + 2 * config.buffer_length
@@ -213,17 +216,18 @@ def make_seq_pf_score_fn(kernel: ParticleKernel, stat_fn: StatisticFn,
     def one_sequence(key, params, obs_i, T_i):
         dtype = obs_i.dtype
         key_start, key_pf = jax.random.split(key)
+        step_valid = None
         if full:
             # full-sequence (LD) estimator: the whole padded sequence is
-            # the window; steps past T_i carry zero weight (left-aligned,
-            # so they cannot influence any weighted statistic).
+            # the window; steps past T_i carry zero weight and are
+            # validity-gated so padding cannot perturb the filter.
             W_i = obs_i.shape[0]
             window = obs_i
             t = jnp.arange(W_i)
             step_w = (t < T_i).astype(dtype)
             in_win = step_w
+            step_valid = step_w
         else:
-            W_i = W
             u = jax.random.uniform(key_start, ())
             start = jnp.floor(u * (T_i - S + 1)).astype(jnp.int32)
             t = start + jnp.arange(S)
@@ -231,11 +235,21 @@ def make_seq_pf_score_fn(kernel: ParticleKernel, stat_fn: StatisticFn,
                 jnp.minimum(t + 1, S),
                 jnp.minimum(T_i - S + 1, T_i - t)).astype(dtype)
             weights = (T_i - S + 1).astype(dtype) / n_cov
-            window_start = jnp.clip(start - config.buffer_length, 0,
-                                    T_i - W_i)
-            t1 = start - window_start
-            window = jax.lax.dynamic_slice_in_dim(obs_i, window_start, W_i,
-                                                  axis=0)
+            if full_buffers:
+                # whole padded sequence as the window; only [start,
+                # start+S) carries weight, real rows feed the filter,
+                # padded tails are validity-gated
+                W_i = obs_i.shape[0]
+                window = obs_i
+                t1 = start
+                step_valid = (jnp.arange(W_i) < T_i).astype(dtype)
+            else:
+                W_i = W
+                window_start = jnp.clip(start - config.buffer_length, 0,
+                                        T_i - W_i)
+                t1 = start - window_start
+                window = jax.lax.dynamic_slice_in_dim(obs_i, window_start,
+                                                      W_i, axis=0)
             step_w, in_win = window_weights(t1, t1 + S, weights, W_i, dtype)
         if prior_mean_var_fn is None:
             pm, pv = jnp.zeros((), dtype), jnp.asarray(10.0, dtype)
@@ -248,7 +262,7 @@ def make_seq_pf_score_fn(kernel: ParticleKernel, stat_fn: StatisticFn,
                 config.n_particles, pm, pv, lambduh=fused_lambduh,
                 interpret=fused_interpret,
                 ess_threshold=config.ess_threshold, rng=config.rng,
-                qp_merge=config.qp_merge)
+                qp_merge=config.qp_merge, step_valid=step_valid)
         out = run_buffered_pf(
             kernel, stat_fn, params, window, key=key_pf,
             n_particles=config.n_particles, statistic_dim=statistic_dim,
@@ -256,7 +270,7 @@ def make_seq_pf_score_fn(kernel: ParticleKernel, stat_fn: StatisticFn,
             prior_mean=pm, prior_var=pv, resampler=config.resampler,
             resample_mode=config.resample_mode, lambduh=config.lambduh,
             n_tilde=config.n_tilde, ess_threshold=config.ess_threshold,
-            bw_chunk=config.bw_chunk)
+            bw_chunk=config.bw_chunk, step_valid=step_valid)
         return out.mean_statistic, out.loglikelihood
 
     def score_fn(key, params, observations):
@@ -300,7 +314,8 @@ def make_seq_marginal_score_fn(windowed_gradient_fn, config: PFScoreConfig,
     n_seq = int(lengths_np.shape[0])
     T_total = float(lengths_np.sum())
     S = config.subsequence_length
-    B = max(config.buffer_length, 0)
+    B = (int(lengths_np.max()) if config.buffer_length == -1
+         else max(config.buffer_length, 0))
     full = S == -1
     k_chosen = n_seq if num_sequences == -1 else num_sequences
     if not full:
@@ -370,7 +385,8 @@ def make_marginal_score_fn(windowed_gradient_fn, config: PFScoreConfig,
     """
     S = config.subsequence_length
     full = (S == -1) or (S >= T)
-    B = 0 if full else max(config.buffer_length, 0)
+    B = 0 if full else (T if config.buffer_length == -1
+                        else max(config.buffer_length, 0))
     S_eff = T if full else S
     W = S_eff + 2 * B
 

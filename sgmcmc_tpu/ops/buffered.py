@@ -79,6 +79,7 @@ def run_buffered_pf(
         ess_threshold: float | None = None,
         bw_chunk: int | None = None,
         fixed_lag: int | None = None,
+        step_valid: jax.Array | None = None,   # [W] {0., 1.}: padded tails
 ) -> PFOutput:
     """Run ``W`` steps of a buffered particle smoother over one window.
 
@@ -139,6 +140,7 @@ def run_buffered_pf(
         weight=step_weights,
         in_window=in_window,
         t=jnp.arange(W, dtype=jnp.int32),
+        valid=step_valid,
     )
 
     if fixed_lag is not None:
@@ -149,6 +151,12 @@ def run_buffered_pf(
 
     def body(carry, inp):
         new_carry = step(params, carry, inp)
+        if inp.valid is not None:
+            # padded-tail gate: freeze the whole carry so fake observations
+            # beyond the true sequence end cannot perturb the filter state
+            # or the statistic ancestry
+            new_carry = PFCarry(*[jnp.where(inp.valid > 0, n, o)
+                                  for n, o in zip(new_carry, carry)])
         if fixed_lag is not None:
             # snapshot slot (t - lag) over the *current* particle cloud:
             # the fixed-lag smoothed statistic E[h_{t-lag} | y_{<= t}].

@@ -121,12 +121,14 @@ def _box_muller(shape):
 def _fused_window_kernel(model: FusedModel, W: int, s: int, B: int,
                          lambduh: float, ess_threshold: float | None,
                          kernel_rng: bool, qp_merge: int, hi_only: bool,
+                         valid_gate: bool,
                          pvec_ref,      # [CB, P, B] f32 VMEM (lane-replicated)
                          x0_ref,        # [CB, D*s, B] f32 VMEM
                          normals_ref,   # [CB, W, Z*s, B] f32 VMEM, or (with
                                         # kernel_rng) [CB, 1] int32 SMEM seeds
-                         aux_ref,       # [CB, 3*W, B] f32 VMEM: rows
-                                        # [y_t | w_t | xi_t], lane-replicated
+                         aux_ref,       # [CB, 3*W or 4*W, B] f32 VMEM: rows
+                                        # [y_t | w_t | xi_t (| v_t)],
+                                        # lane-replicated
                          out_ref):      # [CB, 1, H+1] f32 VMEM
     D, H = model.n_state, model.n_stat
     NZ = model.noise_dims
@@ -288,6 +290,17 @@ def _fused_window_kernel(model: FusedModel, W: int, s: int, B: int,
             s_new = [lambduh * sr[i] + (1.0 - lambduh) * S_bar[:, i]
                      + w_t * h[i] for i in range(H)]
         V_new = jnp.concatenate(list(x_new) + s_new, axis=1)
+        if valid_gate:
+            # padded-tail gate (multi-sequence full windows): freeze the
+            # carries on invalid steps so padding beyond the true sequence
+            # end cannot perturb the filter or the statistic ancestry.  The
+            # deferred loglik increments stay correct: the first invalid
+            # step still applies the last active step's increment (its
+            # w_prev != 0), later ones carry w_prev == 0.
+            v_row = aux_ref[:, pl.ds(3 * W + t, 1), :]        # [CB,1,B]
+            act = jnp.max(v_row, axis=2, keepdims=True) > 0   # [CB,1,1]
+            V_new = jnp.where(act, V_new, V)
+            logw_new = jnp.where(act, logw_new, logw)
         return (V_new, logw_new, ll)
 
     V0 = jnp.concatenate(
@@ -315,7 +328,7 @@ def _fused_window_kernel(model: FusedModel, W: int, s: int, B: int,
 
 @functools.partial(jax.jit, static_argnames=(
     "model", "lambduh", "chain_block", "interpret", "ess_threshold",
-    "kernel_rng", "qp_merge", "hi_only"))
+    "kernel_rng", "qp_merge", "hi_only", "valid_gate"))
 def fused_window_batched(model: FusedModel,
                          pvec: jax.Array,      # [C, P]
                          x0: jax.Array,        # [C, D*s, B]
@@ -330,7 +343,9 @@ def fused_window_batched(model: FusedModel,
                          ess_threshold: float | None = None,
                          kernel_rng: bool = False,
                          qp_merge: int = 1,
-                         hi_only: bool = False):
+                         hi_only: bool = False,
+                         vs: jax.Array | None = None,   # [C, W] validity
+                         valid_gate: bool = False):
     """Run the fused window for a batch of chains.
 
     Returns (mean_statistic [C, H], loglikelihood [C]).
@@ -345,9 +360,13 @@ def fused_window_batched(model: FusedModel,
         CB //= 2
     fdt = jnp.float32
 
+    aux_rows = [ys, weights, xi]
+    if valid_gate:
+        aux_rows.append(jnp.ones_like(ys) if vs is None else vs)
+    n_aux = len(aux_rows) * W
     aux = jnp.broadcast_to(
-        jnp.concatenate([ys, weights, xi], axis=1).astype(fdt)[:, :, None],
-        (C, 3 * W, B))                   # [C, 3W, B] lane-replicated
+        jnp.concatenate(aux_rows, axis=1).astype(fdt)[:, :, None],
+        (C, n_aux, B))                   # [C, 3W|4W, B] lane-replicated
     pvec_b = jnp.broadcast_to(pvec.astype(fdt)[:, :, None],
                               (C, pvec.shape[-1], B))
     if kernel_rng:
@@ -361,7 +380,8 @@ def fused_window_batched(model: FusedModel,
         normals_arg = normals.astype(fdt)
     out = pl.pallas_call(
         functools.partial(_fused_window_kernel, model, W, s, B, lambduh,
-                          ess_threshold, kernel_rng, qp_merge, hi_only),
+                          ess_threshold, kernel_rng, qp_merge, hi_only,
+                          valid_gate),
         grid=(C // CB,),
         in_specs=[
             pl.BlockSpec((CB, pvec.shape[-1], B), lambda i: (i, 0, 0),
@@ -369,7 +389,7 @@ def fused_window_batched(model: FusedModel,
             pl.BlockSpec((CB, D * s, B), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             normals_spec,
-            pl.BlockSpec((CB, 3 * W, B), lambda i: (i, 0, 0),
+            pl.BlockSpec((CB, n_aux, B), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((CB, 1, H + 1), lambda i: (i, 0, 0),
@@ -414,12 +434,12 @@ def _bc(x, batched, n):
 def _fused_callable(model: FusedModel, lambduh: float, interpret: bool,
                     ess_threshold: float | None = None,
                     kernel_rng: bool = False, qp_merge: int = 1,
-                    hi_only: bool = False):
+                    hi_only: bool = False, valid_gate: bool = False):
     """Single-chain fused call whose vmap collapses into real chain
     batches (nested vmaps flatten)."""
 
     @jax.custom_batching.custom_vmap
-    def flat(pvec, x0, normals, ys, weights, xi):
+    def flat(pvec, x0, normals, ys, weights, xi, vs):
         C, W = ys.shape
         B = x0.shape[-1]
         cb = _pick_fused_chain_block(C, W, model.n_state, model.n_stat, B,
@@ -429,7 +449,8 @@ def _fused_callable(model: FusedModel, lambduh: float, interpret: bool,
                                     interpret=interpret,
                                     ess_threshold=ess_threshold,
                                     kernel_rng=kernel_rng,
-                                    qp_merge=qp_merge, hi_only=hi_only)
+                                    qp_merge=qp_merge, hi_only=hi_only,
+                                    vs=vs, valid_gate=valid_gate)
 
     @flat.def_vmap
     def flat_vmap(axis_size, in_batched, *args):
@@ -440,12 +461,13 @@ def _fused_callable(model: FusedModel, lambduh: float, interpret: bool,
                 out[1].reshape(C2, C1)), (True, True)
 
     @jax.custom_batching.custom_vmap
-    def single(pvec, x0, normals, ys, weights, xi):
+    def single(pvec, x0, normals, ys, weights, xi, vs):
         ms, ll = fused_window_batched(
             model, pvec[None], x0[None], normals[None], ys[None],
             weights[None], xi[None], lambduh=lambduh, chain_block=1,
             interpret=interpret, ess_threshold=ess_threshold,
-            kernel_rng=kernel_rng, qp_merge=qp_merge, hi_only=hi_only)
+            kernel_rng=kernel_rng, qp_merge=qp_merge, hi_only=hi_only,
+            vs=vs[None], valid_gate=valid_gate)
         return ms[0], ll[0]
 
     @single.def_vmap
@@ -461,7 +483,7 @@ def fused_pf_score(model: FusedModel, key, params, window, step_weights,
                    lambduh: float = 1.0, interpret: bool = False,
                    ess_threshold: float | None = None,
                    rng: str = "host", qp_merge: int = 1,
-                   gather: str = "exact"):
+                   gather: str = "exact", step_valid=None):
     """Single-chain fused buffered-PF score: (mean_stat [H], loglik).
 
     Draws x0, per-step proposal normals, and systematic offsets from
@@ -506,8 +528,12 @@ def fused_pf_score(model: FusedModel, key, params, window, step_weights,
     xi = jax.random.uniform(kxi, (W,), jnp.float32)
     pvec = model.pack_params(params).astype(jnp.float32)
     ys = window.reshape(W).astype(jnp.float32)
+    valid_gate = step_valid is not None
+    vs = (jnp.ones((W,), jnp.float32) if step_valid is None
+          else step_valid.astype(jnp.float32))
     fn = _fused_callable(model, float(lambduh), bool(interpret),
                          None if ess_threshold is None
                          else float(ess_threshold), kernel_rng,
-                         int(qp_merge), gather == "bf16")
-    return fn(pvec, x0, normals, ys, step_weights.astype(jnp.float32), xi)
+                         int(qp_merge), gather == "bf16", valid_gate)
+    return fn(pvec, x0, normals, ys, step_weights.astype(jnp.float32), xi,
+              vs)

@@ -47,6 +47,11 @@ class PFStepInput(NamedTuple):
     weight: jax.Array          # scalar: subsequence weight w_t (0 off-window)
     in_window: jax.Array       # scalar {0., 1.}: t in [t1, tL)
     t: jax.Array               # int32 absolute step index within the window
+    # scalar {0., 1.} validity gate for zero-padded sequence tails: invalid
+    # steps freeze the whole carry (run_buffered_pf applies the gate; None
+    # = all valid).  Distinct from in_window: buffer steps are valid but
+    # out-of-window.
+    valid: jax.Array | None = None
 
 
 def _ess_gate(log_weights: jax.Array, ess_threshold: float | None):

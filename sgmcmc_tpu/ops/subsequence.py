@@ -77,8 +77,12 @@ def sample_buffered_window(key: jax.Array, S: int, buffer_length: int, T: int,
                            dtype=jnp.float32) -> SubsequenceWindow:
     """Sample a subsequence and lay out its fixed-shape buffered window.
 
-    Static window length ``W = S + 2*buffer_length`` (clipped to T).
+    Static window length ``W = S + 2*buffer_length`` (clipped to T);
+    ``buffer_length == -1`` buffers to the whole sequence
+    (`_random_subsequence_and_buffers`, `sgmcmc_sampler.py:259-266`).
     """
+    if buffer_length == -1:
+        buffer_length = T
     W = min(S + 2 * buffer_length, T)
     start, weights = sample_subsequence(key, S, T, partition_style, dtype)
     window_start = jnp.clip(start - buffer_length, 0, T - W)
