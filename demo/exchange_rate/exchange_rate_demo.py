@@ -50,10 +50,12 @@ def load_segments(path: str, min_len: int = 7):
 
 
 def fit_model(model_name, observations, method, num_iters, N, seed=12345,
-              seq: bool = False):
-    """Whole-loop-compiled fit (fit_scan): per-step Python calls pay a
-    ~100ms RPC round-trip on tunneled TPU backends, so the demo compiles
-    the entire chain into one XLA program.
+              seq: bool = False, chunk_iters: int = 250):
+    """Whole-loop-compiled fit in chunked program executions
+    (`fit_scan_chunked`): per-step Python calls pay a ~100ms RPC
+    round-trip on tunneled TPU backends, while a single multi-minute
+    program execution exceeds the remote worker's watchdog — chunks of a
+    few hundred iterations hit the sweet spot.
 
     ``seq=True`` fits a multi-sequence sampler over a list of segments
     (`SeqSVMSampler`; SGLD draws one segment per step, LD sums every full
@@ -82,10 +84,8 @@ def fit_model(model_name, observations, method, num_iters, N, seed=12345,
                       resample_mode="auto")
         if seq:
             kwargs["num_sequences"] = -1
-    trace = sampler.fit_scan("SGLD", num_iters=num_iters, **kwargs)
-    from sgmcmc_tpu.io.checkpoint import unstack_trace
-    import jax
-    params_list = unstack_trace(jax.device_get(trace))
+    params_list = sampler.fit_scan_chunked(
+        "SGLD", num_iters=num_iters, chunk_iters=chunk_iters, **kwargs)
     times = list(range(len(params_list)))
     return sampler, params_list, times
 
@@ -122,8 +122,12 @@ def main():
     for method in ["sgld", "ld"]:
         t0 = time.time()
         iters = args.sgld_iters if method == "sgld" else args.ld_iters
+        # chunk sizes sized to keep single program executions well under
+        # the remote worker's watchdog (LD iterations are ~100x heavier)
+        chunk = 2000 if method == "sgld" else 200
         sampler, params_list, times = fit_model(
-            args.model, obs, method, iters, args.N, seq=seq)
+            args.model, obs, method, iters, args.N, seq=seq,
+            chunk_iters=chunk)
         print(f"{method}: {len(params_list)} samples in "
               f"{time.time() - t0:.1f}s; final loglik "
               f"{sampler.noisy_loglikelihood(N=args.N, pf='filter'):.2f}")

@@ -535,6 +535,32 @@ class Sampler:
         self.parameters = params
         return trace
 
+    def fit_scan_chunked(self, iter_type: str, num_iters: int,
+                         chunk_iters: int = 250, epsilon: float = 0.1,
+                         **kwargs):
+        """`fit_scan` split into chunked program executions.
+
+        Identical chain law to one long `fit_scan` (the PRNG threads
+        through `self._key` between chunks); each chunk compiles once and
+        runs as its own XLA program.  Use on remote/tunneled backends
+        where a single multi-minute program execution can exceed the
+        worker's watchdog (observed on the axon endpoint: single
+        executions of roughly >= 5 minutes kill the worker, while the
+        same work in chunks completes) — and for very long chains where
+        one on-device trace would not fit.  Returns the trace as a list
+        of parameter pytrees on host.
+        """
+        from ..io.checkpoint import unstack_trace
+        out = []
+        done = 0
+        while done < num_iters:
+            n = min(chunk_iters, num_iters - done)
+            trace = self.fit_scan(iter_type, num_iters=n, epsilon=epsilon,
+                                  **kwargs)
+            out.extend(unstack_trace(jax.device_get(trace)))
+            done += n
+        return out
+
     # -- prediction / latent recovery --------------------------------------
     def predict(self, target: str = "latent", kind: str | None = None,
                 pf: str | None = None, N: int = 1000, squared=False,
