@@ -393,14 +393,38 @@ class Sampler:
 
     def fit_timed(self, iter_type: str, max_time: float, epsilon: float = 0.1,
                   steps_per_iteration: int = 1, max_samples: int = 2000,
-                  **kwargs):
+                  chunk_iters: int | None = None, **kwargs):
         """Wall-clock-budgeted fit (`fit_timed`, `sgmcmc_sampler.py:723`).
 
         The recorded trace is adaptively thinned to at most ~2*max_samples
         entries (keeping every k-th iterate, doubling k as needed) — on
         remote TPU backends an unthinned multi-thousand-step trace costs
         more in host transfers than the sampling itself.
+
+        ``chunk_iters`` switches from per-step Python calls (~100 ms RPC
+        each on tunneled backends) to whole-chunk-compiled `fit_scan`
+        executions between wall-clock checks — the fast path for real
+        wall-clock budgets on the axon endpoint.
         """
+        if chunk_iters is not None:
+            from ..io.checkpoint import unstack_trace
+            params_list = [self.parameters]
+            times = [0.0]
+            start = time.perf_counter()
+            while time.perf_counter() - start < max_time:
+                trace = self.fit_scan(
+                    iter_type, num_iters=chunk_iters, epsilon=epsilon,
+                    steps_per_iteration=steps_per_iteration, **kwargs)
+                chunk = unstack_trace(jax.device_get(trace))
+                now = time.perf_counter() - start
+                prev = times[-1]
+                for i, p in enumerate(chunk):
+                    params_list.append(p)
+                    times.append(prev + (now - prev) * (i + 1) / len(chunk))
+                if max_samples and len(params_list) > 2 * max_samples:
+                    params_list = params_list[::2]
+                    times = times[::2]
+            return params_list, times
         step = self.get_iter_step(iter_type)
         params_list = [self.parameters]
         times = [0.0]

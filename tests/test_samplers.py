@@ -190,3 +190,30 @@ def test_fit_evaluate_records_metrics():
     df = ev.get_metrics()
     assert len(df) >= 2
     assert np.all(np.isfinite(df["value"].to_numpy(float)))
+
+
+def test_fit_scan_chunked_and_timed_chunked():
+    """Chunked fit paths: fit_scan_chunked's chain law matches fit_scan
+    sample counts and stays finite; fit_timed(chunk_iters=...) returns a
+    monotone time axis."""
+    import jax
+    import numpy as np
+
+    from sgmcmc_tpu.inference.samplers import LGSSMSampler
+    from sgmcmc_tpu.models import lgssm
+
+    p = lgssm.from_matrices(A=[[0.8]], C=[[1.0]], Q=[[0.5]], R=[[0.7]])
+    ys, _ = lgssm.generate_data(jax.random.PRNGKey(0), p, 60)
+    s = LGSSMSampler(observations=ys, parameters=p, seed=0)
+    trace = s.fit_scan_chunked("SGLD", num_iters=25, chunk_iters=10,
+                               epsilon=1e-3, kind="marginal",
+                               subsequence_length=-1)
+    assert len(trace) == 25
+    assert all(np.isfinite(float(np.asarray(q.A)[0, 0])) for q in trace)
+
+    s2 = LGSSMSampler(observations=ys, parameters=p, seed=0)
+    params_list, times = s2.fit_timed("SGLD", max_time=1.0, epsilon=1e-3,
+                                      chunk_iters=10, kind="marginal",
+                                      subsequence_length=-1)
+    assert len(params_list) == len(times) > 1
+    assert all(b >= a for a, b in zip(times, times[1:]))
