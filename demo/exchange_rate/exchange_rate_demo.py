@@ -118,13 +118,17 @@ def main():
         print(f"{args.mode}: {len(obs)} segments, "
               f"{sum(s.shape[0] for s in obs)} total observations")
 
+    total_obs = (obs.shape[0] if args.mode == "single"
+                 else sum(s.shape[0] for s in obs))
     results = {}
     for method in ["sgld", "ld"]:
         t0 = time.time()
         iters = args.sgld_iters if method == "sgld" else args.ld_iters
         # chunk sizes sized to keep single program executions well under
-        # the remote worker's watchdog (LD iterations are ~100x heavier)
-        chunk = 2000 if method == "sgld" else 200
+        # the remote worker's watchdog (LD iterations scale with the total
+        # observation count: every full segment each step)
+        chunk = 2000 if method == "sgld" else (200 if total_obs <= 1000
+                                               else 50)
         sampler, params_list, times = fit_model(
             args.model, obs, method, iters, args.N, seq=seq,
             chunk_iters=chunk)

@@ -75,18 +75,21 @@ def test_buffered_sgrld_matches_gibbs(problem, gibbs_trace):
 
     B=24 makes the boundary-message bias negligible (measured: the
     posterior shift is bit-identical between B=24 and buffer_length=-1 =
-    exact boundaries).  The residual LQinv shift is the SG-Langevin
-    noise-inflation bias from subsequence gradient variance — measured
-    0.53 sd at eps=0.01 and 0.36 sd at eps=0.004 (shrinking with eps, as
-    theory predicts); the tolerances bracket that known bias rather than
-    asserting exact stationarity the estimator does not have."""
+    exact boundaries).  The burn-in is matched to the measured relaxation
+    of the stiff R coordinate: the chain starts at the TRUE parameters,
+    but this data realization's posterior sits at R ~= 0.38 (LRinv 3.16
+    -> 1.62, ~5.7 posterior sds from the init), and at eps=0.004 the
+    preconditioned chain needs ~60k iterations to traverse that —
+    measured trace-fifth means 1.37 -> 1.64 over a 100k chain, i.e. a
+    30k burn-in leaves a drifting trace (shift 0.55 sd), while a 60k
+    burn-in equilibrates (shift 0.13 sd, KS 0.10)."""
     true, ys = problem
     s = LGSSMSampler(observations=ys, parameters=true, seed=3)
-    trace = s.fit_scan("SGRLD", num_iters=100000, epsilon=0.004,
+    trace = s.fit_scan("SGRLD", num_iters=120000, epsilon=0.004,
                        kind="marginal", subsequence_length=40,
                        buffer_length=24)
-    _assert_matches(unstack_trace(jax.device_get(trace))[30000::5],
-                    gibbs_trace, shift_tol=0.45, ks_tol=0.3)
+    _assert_matches(unstack_trace(jax.device_get(trace))[60000::5],
+                    gibbs_trace, shift_tol=0.3, ratio_lo=0.7, ks_tol=0.2)
 
 
 def test_adagrad_init_sgld_matches_gibbs(problem, gibbs_trace):
