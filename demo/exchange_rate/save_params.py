@@ -23,12 +23,9 @@ Usage: python save_params.py [--model svm|garch|svjm] [--data PATH.npz]
 import argparse
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(__file__))
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
-
-import numpy as np
 
 
 def main():
@@ -50,8 +47,6 @@ def main():
                                                SeqSVJMSampler,
                                                SeqSVMSampler)
     from sgmcmc_tpu.io import checkpoint as ckpt
-    from sgmcmc_tpu.io.checkpoint import unstack_trace
-    import jax
 
     out_dir = args.out or f"./eur_{args.model}_results"
     os.makedirs(os.path.join(out_dir, "samples"), exist_ok=True)
@@ -74,18 +69,11 @@ def main():
     }
     for name, kw in legs.items():
         eps = kw.pop("epsilon")
-        params_list, times = [sampler.parameters], [0.0]
-        t0 = time.time()
-        while time.time() - t0 < args.fit_time:
-            trace = sampler.fit_scan("SGLD", num_iters=args.chunk_iters,
-                                     epsilon=eps, **kw)
-            now = time.time() - t0
-            chunk = unstack_trace(jax.device_get(trace))
-            # record the chunk with interpolated timestamps
-            prev = times[-1]
-            for i, p in enumerate(chunk):
-                params_list.append(p)
-                times.append(prev + (now - prev) * (i + 1) / len(chunk))
+        # whole-chunk-compiled wall-clock fit with adaptive thinning
+        # (bounds the host-side trace over the 8 h reference budget)
+        params_list, times = sampler.fit_timed(
+            "SGLD", max_time=args.fit_time, epsilon=eps,
+            chunk_iters=args.chunk_iters, **kw)
         path = os.path.join(out_dir, "samples", f"{name}_trace.p")
         ckpt.save_trace(path, params_list, times)
         print(f"{name}: {len(params_list)} samples in {times[-1]:.0f}s "

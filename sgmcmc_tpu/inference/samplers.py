@@ -97,7 +97,7 @@ class Sampler:
         cfg = self._score_config(**kwargs)
         kernel_name = kwargs.get("kernel")
         cache_key = ("grad", kind, cfg, kernel_name, preconditioned,
-                     is_scaled, self.T)
+                     is_scaled, self.T, kwargs.get("num_samples", 1))
         if cache_key not in self._cache:
             if kind == "marginal":
                 if m.windowed_marginal_gradient is None:
@@ -410,6 +410,7 @@ class Sampler:
             from ..io.checkpoint import unstack_trace
             params_list = [self.parameters]
             times = [0.0]
+            stride, it = 1, 0
             start = time.perf_counter()
             while time.perf_counter() - start < max_time:
                 trace = self.fit_scan(
@@ -418,12 +419,20 @@ class Sampler:
                 chunk = unstack_trace(jax.device_get(trace))
                 now = time.perf_counter() - start
                 prev = times[-1]
+                # same every-stride-th thinning as the per-step path below
+                # (timestamps interpolate within the chunk; the first
+                # chunk's span includes its one-off compile, as the first
+                # per-step iteration does)
                 for i, p in enumerate(chunk):
+                    it += 1
+                    if it % stride:
+                        continue
                     params_list.append(p)
                     times.append(prev + (now - prev) * (i + 1) / len(chunk))
-                if max_samples and len(params_list) > 2 * max_samples:
-                    params_list = params_list[::2]
-                    times = times[::2]
+                    if max_samples and len(params_list) > 2 * max_samples:
+                        params_list = params_list[::2]
+                        times = times[::2]
+                        stride *= 2
             return params_list, times
         step = self.get_iter_step(iter_type)
         params_list = [self.parameters]
@@ -660,7 +669,9 @@ class Sampler:
         from ..ops.buffered import run_buffered_pf
         T = self.T
         kernel_name = kwargs.get("kernel")
-        cache_key = ("pf_distr", target, pf, N, lag, T, kernel_name)
+        cache_key = ("pf_distr", target, pf, N, lag, T, kernel_name,
+                     kwargs.get("resampler", "multinomial"),
+                     kwargs.get("resample_mode", "auto"))
         if cache_key not in self._cache:
             def run(key, params, obs):
                 out = run_buffered_pf(
@@ -679,6 +690,12 @@ class Sampler:
         stat = self._cache[cache_key](
             self.next_key(), self.parameters, self.observations)
         stat = stat.reshape(T, stat_dim)
+        if squared and target != "y" and m.name != "garch":
+            # `squared` is a GARCH-only contract in the reference too
+            # (`garch/helper.py:236-267`; no other helper accepts it)
+            raise NotImplementedError(
+                f"squared=True latent moments are GARCH-only, not "
+                f"{m.name}")
         if target == "y":
             mean, cov = m.y_moments(self.parameters, stat)
         elif m.latent_moments is not None:
@@ -721,7 +738,8 @@ class Sampler:
         stat_fn = m.make_predictive_stat_fn(self.observations,
                                             num_steps_ahead)
         kernel_name = kwargs.get("kernel")
-        cache_key = ("pred_ll", num_steps_ahead, N, kernel_name)
+        cache_key = ("pred_ll", num_steps_ahead, N, kernel_name,
+                     kwargs.get("resample_mode", "auto"))
         if cache_key not in self._cache:
             def run(key, params, obs):
                 out = run_buffered_pf(

@@ -202,6 +202,9 @@ def make_seq_pf_score_fn(kernel: ParticleKernel, stat_fn: StatisticFn,
     full_buffers = config.buffer_length == -1
     if full or full_buffers:
         W = None  # set per call from the packed T_max
+        if not full and S > min_len:
+            raise ValueError(f"subsequence {S} exceeds shortest sequence "
+                             f"{min_len}")
     else:
         W = S + 2 * config.buffer_length
         if W > min_len:

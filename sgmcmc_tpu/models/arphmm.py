@@ -221,7 +221,7 @@ def latent_var_distr(params, observations, forward_msg=None,
 
 def latent_var_sample(params, key, observations, forward_msg=None,
                       backward_msg=None, distr: str = "joint", lag=None,
-                      num_samples: int = 1):
+                      num_samples: int = 1, valid=None):
     """Posterior z draws: ``distr='joint'`` FFBS paths;
     ``distr='marginal'`` independent per-t categorical draws from the
     (optionally lagged) marginals (reference `predict` contract,
@@ -236,10 +236,12 @@ def latent_var_sample(params, key, observations, forward_msg=None,
             backward_msg = default_backward_message(params)
         if num_samples == 1:
             return hmm.latent_var_sample(key, logP, params.pi, forward_msg,
-                                         backward_msg)
+                                         backward_msg, valid=valid)
         return jax.vmap(lambda k: hmm.latent_var_sample(
-            k, logP, params.pi, forward_msg, backward_msg))(
+            k, logP, params.pi, forward_msg, backward_msg, valid=valid))(
             jax.random.split(key, num_samples))
+    if valid is not None:
+        raise ValueError("valid masking is only supported for distr='joint'")
     if distr != "marginal":
         raise ValueError(f"Unrecognized distr '{distr}'")
     probs = latent_var_distr(params, observations, forward_msg,
@@ -275,10 +277,24 @@ def windowed_complete_gradient(params: ARPHMMParams, window, valid,
                                num_samples: int = 1):
     """kind='complete' buffered estimator (FFBS z draw + weighted
     complete-data autodiff score; `sgmcmc_sampler.py:330-362`)."""
+    # Deliberate delta from the reference (`sgmcmc_sampler.py:330-362`
+    # drops the first transition term at the sequence start): the
+    # pre-window state is completed exactly — z_prev | z_first ~
+    # p0[i] * Pi[i, z_first] — so E[grad complete] = grad marginal holds
+    # exactly at edge windows too (`tests/test_valid_ffbs.py`).
+    p0 = default_forward_message(params).prob
+
     def one_sample(k):
-        z = latent_var_sample(params, k, window)
+        k_ffbs, k_prev = jax.random.split(k)
+        z = latent_var_sample(params, k_ffbs, window, valid=valid)
         z = jax.lax.stop_gradient(z)
-        z_prev = z[B - 1] if B > 0 else None
+        logit_init = jnp.log(p0 * params.pi[:, z[B]] + 1e-300)
+        z_init = jax.random.categorical(k_prev, logit_init).astype(jnp.int32)
+        z_init = jax.lax.stop_gradient(z_init)
+        if B > 0:
+            z_prev = jnp.where(valid[B - 1] > 0, z[B - 1], z_init)
+        else:
+            z_prev = z_init
 
         def cdl(p):
             return complete_data_loglikelihood(

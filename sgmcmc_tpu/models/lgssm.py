@@ -184,7 +184,8 @@ def predictive_loglikelihood(params: LGSSMParams, observations, lag=1,
 
 def latent_var_sample(params: LGSSMParams, key, observations,
                       forward_msg=None, num_samples: int = 1,
-                      distr: str = "joint", lag=None, backward_msg=None):
+                      distr: str = "joint", lag=None, backward_msg=None,
+                      valid=None):
     """Posterior latent draws (`latent_var_sample`,
     `lgssm/helper.py:650-732`): ``distr='joint'`` FFBS paths;
     ``distr='marginal'`` independent per-t draws from the (optionally
@@ -196,7 +197,9 @@ def latent_var_sample(params: LGSSMParams, key, observations,
             forward_msg = default_forward_message(params)
         return kalman.ffbs_sample(key, observations, params.A, params.C,
                                   params.LQinv, params.LRinv, forward_msg,
-                                  num_samples)
+                                  num_samples, valid=valid)
+    if valid is not None:
+        raise ValueError("valid masking is only supported for distr='joint'")
     if distr != "marginal":
         raise ValueError(f"Unrecognized distr '{distr}'")
     mean, cov = latent_var_distr(params, observations, lag=lag,
@@ -358,17 +361,44 @@ def windowed_complete_gradient(params: LGSSMParams, window, valid, weights,
     The complete-data loglikelihood is closed form, so the score is its
     autodiff — numerically identical to the reference's hand-derived
     `gradient_complete_data_loglikelihood` (`lgssm/helper.py:422-491`).
+
+    Deliberate delta from the reference: at the sequence start (no valid
+    buffer row before the subsequence) the reference drops the first
+    transition term (`helper.py:443-445` skips when x_prev is None) —
+    leaving the complete-data score biased relative to the exact marginal
+    gradient, whose first pairwise smoothed moment carries the implicit
+    x_{-1} ~ init-message transition.  Here the pre-window latent is
+    completed exactly instead: x_prev | x_first ~ N(J_c^{-1} h_c, J_c^{-1})
+    with J_c = J_0 + A'Q^{-1}A, h_c = h_0 + A'Q^{-1} x_first (y never
+    touches x_{-1}), restoring the Fisher identity E[grad complete] =
+    grad marginal exactly (`tests/test_valid_ffbs.py`).
     """
+    fmsg0 = default_forward_message(params)
     fmsg = kalman.GaussianMessage(
-        jnp.zeros((), window.dtype),
-        default_forward_message(params).mean_precision,
-        default_forward_message(params).precision)
+        jnp.zeros((), window.dtype), fmsg0.mean_precision, fmsg0.precision)
+    Qinv = params.LQinv @ params.LQinv.T
+    AtQinv = params.A.T @ Qinv
+    Jc = fmsg0.precision + AtQinv @ params.A
 
     def one_sample(k):
-        x = kalman.ffbs_sample(k, window, params.A, params.C, params.LQinv,
-                               params.LRinv, fmsg)
+        k_ffbs, k_prev = jax.random.split(k)
+        x = kalman.ffbs_sample(k_ffbs, window, params.A, params.C,
+                               params.LQinv, params.LRinv, fmsg, valid=valid)
         x = jax.lax.stop_gradient(x)
-        x_prev = x[B - 1] if B > 0 else None
+        # pre-subsequence latent: the sampled buffer row when it is a real
+        # observation, else the exact init-message completion given the
+        # first subsequence draw
+        hc = fmsg0.mean_precision + AtQinv @ x[B]
+        mean_c = jnp.linalg.solve(Jc, hc)
+        Lc = jnp.linalg.cholesky(Jc)
+        z = jax.random.normal(k_prev, mean_c.shape, window.dtype)
+        x_init = mean_c + jax.scipy.linalg.solve_triangular(
+            Lc.T, z, lower=False)
+        x_init = jax.lax.stop_gradient(x_init)
+        if B > 0:
+            x_prev = jnp.where(valid[B - 1] > 0, x[B - 1], x_init)
+        else:
+            x_prev = x_init
 
         def cdl(p):
             return complete_data_loglikelihood(

@@ -222,27 +222,46 @@ def latent_var_distr(logP, Pi, forward_msg, backward_msg, lag=None):
     return p / jnp.sum(p, axis=-1, keepdims=True)
 
 
-def latent_var_sample(key, logP, Pi, forward_msg, backward_msg):
+def latent_var_sample(key, logP, Pi, forward_msg, backward_msg, valid=None):
     """Joint FFBS sample of z_{0:T-1} (`hmm_helper.py:269-328`), via a
-    forward scan over the backward messages."""
+    forward scan over the backward messages.
+
+    ``valid`` gates rows with the same truncated-window semantics as the
+    message passes: an invalid row is transparent — no transition or
+    emission is applied across it, and its returned z is a copy of the
+    neighbouring valid draw (a placeholder; callers must not condition on
+    it).  The first *valid* row uses the init-message prior, exactly as
+    row 0 does in the ungated case.
+    """
     T, K = logP.shape
-    bwd = backward_messages(logP, Pi, backward_msg)
+    bwd = backward_messages(logP, Pi, backward_msg, valid=valid)
     m = jnp.max(logP, axis=-1, keepdims=True)
     P = jnp.exp(logP - m)
+    if valid is None:
+        valid = jnp.ones((T,), logP.dtype)
 
     keys = jax.random.split(key, T)
 
-    def step(z_prev, inp):
-        k, P_t, q_t, t = inp
-        prior = jnp.where(t == 0, forward_msg.prob @ Pi, Pi[z_prev])
-        post = prior * P_t * q_t
+    def step(carry, inp):
+        z_prev, started = carry
+        k, P_t, q_t, v = inp
+        prior = jnp.where(started, Pi[z_prev], forward_msg.prob @ Pi)
+        post = prior * jnp.where(v > 0, P_t, jnp.ones_like(P_t)) * q_t
         z = jax.random.categorical(k, jnp.log(post + 1e-300)).astype(
             jnp.int32)
+        z = jnp.where(v > 0, z, z_prev)
+        return (z, started | (v > 0)), z
+
+    (_, _), zs = jax.lax.scan(
+        step, (jnp.zeros((), jnp.int32), jnp.zeros((), bool)),
+        (keys, P, bwd.prob[1:], valid))
+    # invalid prefix rows copy the first valid draw (backward fill)
+    def back(z_next, inp):
+        z, v = inp
+        z = jnp.where(v > 0, z, z_next)
         return z, z
 
-    _, zs = jax.lax.scan(step, jnp.zeros((), jnp.int32),
-                         (keys, P, bwd.prob[1:],
-                          jnp.arange(T, dtype=jnp.int32)))
+    _, zs = jax.lax.scan(back, zs[-1], (zs, valid), reverse=True)
     return zs
 
 

@@ -357,42 +357,58 @@ def lagged_moments(observations, A, C, LQinv, LRinv, forward_msg,
 
 
 def ffbs_sample(key, observations, A, C, LQinv, LRinv, forward_msg,
-                num_samples: int = 1):
+                num_samples: int = 1, valid=None):
     """Forward-filter backward-sample of the latent path x_{0:T-1} | y.
 
     Rewrite of `latent_var_sample` (`lgssm/helper.py:650-732`): backward
     pass is a reverse scan; multiple joint samples vmap over the leading
     axis.  Returns [T, n] (or [num_samples, T, n] if num_samples > 1).
+
+    ``valid`` gates rows with the same truncated-window semantics as the
+    message passes: invalid rows are transparent (no transition or
+    emission applied across them; their returned x is a copy of the
+    neighbouring valid draw — a placeholder callers must not condition
+    on).  The *last valid* row is drawn from its filtered marginal, as
+    row T-1 is in the ungated case.
     """
     Qinv = LQinv @ LQinv.T
     AtQinv = A.T @ Qinv
     AtQinvA = AtQinv @ A
-    fmsgs = forward_messages(observations, A, C, LQinv, LRinv, forward_msg)
+    fmsgs = forward_messages(observations, A, C, LQinv, LRinv, forward_msg,
+                             valid=valid)
     hs, Js = fmsgs.mean_precision[1:], fmsgs.precision[1:]   # [T, n], [T,n,n]
     T, n = hs.shape[0], A.shape[0]
     dtype = observations.dtype
+    v_all = (jnp.ones((T,), dtype) if valid is None
+             else jnp.asarray(valid, dtype))
 
     def sample_one(key):
         key_last, key_rest = jax.random.split(key)
-        # x_{T-1} ~ N(J^-1 h, J^-1)
+        # x at the last valid row ~ N(J^-1 h, J^-1) (pass-through messages
+        # make Js[-1]/hs[-1] the last valid row's filtered message)
         L_last = jnp.linalg.cholesky(Js[-1])
         mean_last = jnp.linalg.solve(Js[-1], hs[-1])
         z = jax.random.normal(key_last, (n,), dtype)
         x_last = mean_last + jax.scipy.linalg.solve_triangular(
             L_last.T, z, lower=False)
 
-        def step(x_next, inp):
-            h, J, k = inp
+        def step(carry, inp):
+            x_next, started = carry
+            h, J, v, k = inp
             Jcond = J + AtQinvA
             mean = jnp.linalg.solve(Jcond, h + AtQinv @ x_next)
             L = jnp.linalg.cholesky(Jcond)
             z = jax.random.normal(k, (n,), dtype)
-            x = mean + jax.scipy.linalg.solve_triangular(L.T, z, lower=False)
-            return x, x
+            x_cond = mean + jax.scipy.linalg.solve_triangular(
+                L.T, z, lower=False)
+            use_cond = (v > 0) & started
+            x = jnp.where(use_cond, x_cond, x_next)
+            return (x, started | (v > 0)), x
 
         keys = jax.random.split(key_rest, T - 1)
-        _, xs = jax.lax.scan(step, x_last,
-                             (hs[:-1][::-1], Js[:-1][::-1], keys))
+        (_, _), xs = jax.lax.scan(step, (x_last, v_all[-1] > 0),
+                                  (hs[:-1][::-1], Js[:-1][::-1],
+                                   v_all[:-1][::-1], keys))
         return jnp.concatenate([xs[::-1], x_last[None]], axis=0)
 
     if num_samples == 1:

@@ -123,15 +123,16 @@ def make_sharded_smoother_step(kernel: ParticleKernel, stat_fn: StatisticFn,
             new_w = new_w + jnp.where(do_res, 0.0, carried_loc)
 
         scale = inp.weight * inp.in_window
-        h = stat_fn(params, parents, new_x, inp.y, inp.t)  # [N_loc, H]
 
         if smoother == "filter":
+            h = stat_fn(params, parents, new_x, inp.y, inp.t)  # [N_loc, H]
             all_new_w = jax.lax.all_gather(new_w, axis_name, tiled=True)
             probs_loc = jnp.exp(new_w - jnp.max(all_new_w))
             denom = jax.lax.psum(jnp.sum(probs_loc), axis_name)
             stats = carry.statistics + scale * jax.lax.psum(
                 jnp.sum(h * (probs_loc / denom)[:, None], axis=0), axis_name)
         elif smoother == "nemeth":
+            h = stat_fn(params, parents, new_x, inp.y, inp.t)  # [N_loc, H]
             all_s = jax.lax.all_gather(carry.statistics, axis_name,
                                        tiled=True)
             probs = jax.nn.softmax(all_w)
@@ -179,7 +180,7 @@ def make_sharded_smoother_step(kernel: ParticleKernel, stat_fn: StatisticFn,
                                        n_local)
 
             def rows_to_stats(args):
-                x_next_c, keys_c, h_c = args
+                x_next_c, keys_c = args
 
                 def row(x_next_i):
                     x_b = jnp.broadcast_to(x_next_i[None, :], all_x.shape)
@@ -200,13 +201,12 @@ def make_sharded_smoother_step(kernel: ParticleKernel, stat_fn: StatisticFn,
                 return jnp.mean(rewired + scale * hj, axis=1)
 
             if n_chunks == 1:
-                stats = rows_to_stats((new_x, bs_keys, h))
+                stats = rows_to_stats((new_x, bs_keys))
             else:
                 C = n_local // n_chunks
                 stats = jax.lax.map(rows_to_stats, (
                     new_x.reshape(n_chunks, C, new_x.shape[-1]),
-                    bs_keys.reshape((n_chunks, C) + bs_keys.shape[1:]),
-                    h.reshape(n_chunks, C, h.shape[-1])))
+                    bs_keys.reshape((n_chunks, C) + bs_keys.shape[1:])))
                 stats = stats.reshape(n_local, stats.shape[-1])
 
         # global loglik increment log(mean(exp(new_w)))

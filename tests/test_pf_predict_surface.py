@@ -140,3 +140,34 @@ def test_unknown_model_pf_predictive_raises():
     s.parameters = prms
     with pytest.raises(NotImplementedError):
         s.predictive_loglikelihood(kind="pf", N=32)
+
+
+def test_squared_latent_moments_is_garch_only():
+    """`squared` is a GARCH-only reference contract
+    (`garch/helper.py:236-267`); other models must raise, not TypeError."""
+    s = SVMSampler(np.asarray(YS), seed=3)
+    with pytest.raises(NotImplementedError, match="squared"):
+        s.predict(target="latent", kind="pf", N=32, squared=True)
+
+
+def test_predict_cache_key_covers_resampler():
+    """Changing resampler/resample_mode between predict calls must not
+    silently reuse the previous compiled configuration."""
+    s = _lgssm_sampler()
+    s.predict(target="latent", kind="pf", N=32)
+    n1 = len(s._cache)
+    s.predict(target="latent", kind="pf", N=32, resampler="systematic",
+              resample_mode="gather")
+    assert len(s._cache) == n1 + 1
+
+
+def test_complete_grad_cache_key_covers_num_samples():
+    """kind='complete' gradient closures bake in num_samples — different
+    values must compile separately, not collide."""
+    s = _lgssm_sampler()
+    s.sample_sgld(epsilon=1e-3, kind="complete", subsequence_length=32,
+                  buffer_length=8, num_samples=4)
+    n1 = len([k for k in s._cache if k[0] == "grad"])
+    s.sample_sgld(epsilon=1e-3, kind="complete", subsequence_length=32,
+                  buffer_length=8, num_samples=1)
+    assert len([k for k in s._cache if k[0] == "grad"]) == n1 + 1

@@ -244,3 +244,21 @@ def test_seq_svjm_sampler_runs():
     ll = s.noisy_loglikelihood(N=64, subsequence_length=16, buffer_length=4,
                                resample_mode="gather")
     assert np.isfinite(ll)
+
+
+def test_seq_full_buffer_short_subsequence_validated():
+    """buffer_length=-1 must reject S > shortest sequence (same guard as
+    the finite-buffer branch) instead of silently producing negative
+    starts and corrupt weights."""
+    import pytest
+
+    from sgmcmc_tpu.inference import sgmcmc
+    from sgmcmc_tpu.inference.samplers import pack_sequences
+
+    true, seqs = make_sequences()
+    packed, lengths = pack_sequences(seqs)   # min length 64
+    cfg = sgmcmc.PFScoreConfig(n_particles=16, subsequence_length=100,
+                               buffer_length=-1)
+    with pytest.raises(ValueError, match="shortest"):
+        sgmcmc.make_seq_pf_score_fn(svm.KERNEL, svm.grad_statistic, 3,
+                                    svm.unpack_grad, cfg, lengths)
