@@ -73,3 +73,24 @@ def chain_scripts(name: str, script_paths: list[str],
     lines = [f"bash {shlex.quote(p)}" for p in script_paths]
     return _write_script(os.path.join(path_to_shell_script, f"{name}.sh"),
                          lines)
+
+
+class TqdmToLogger:
+    """Output stream routing tqdm progress lines into ``logging``
+    (`TqdmToLogger`, `driver_utils.py:145-165`): pass as
+    ``tqdm(..., file=TqdmToLogger(logger))`` in batch jobs whose stdout
+    is tee'd to a log file, so progress lines become log records instead
+    of carriage-return spam."""
+
+    def __init__(self, logger, level=None):
+        import logging
+        self.logger = logger
+        self.level = logging.INFO if level is None else level
+        self.buf = ""
+
+    def write(self, buf: str) -> None:
+        self.buf = buf.strip("\r\n\t ")
+
+    def flush(self) -> None:
+        if self.buf:
+            self.logger.log(self.level, self.buf)

@@ -170,3 +170,22 @@ def test_ksd_state_resume(exp_dir):
         exp_dir, "out", "trace_eval", f"{o['experiment_id']}_ksd.csv"))
     assert float(csv["value"].max()) > 1e4   # the stored score dominated
     assert not os.path.exists(state_path)    # cleaned up on completion
+
+
+def test_tqdm_to_logger_routes_progress_lines():
+    """`TqdmToLogger` parity shim (`driver_utils.py:145-165`)."""
+    import io
+    import logging
+
+    from sgmcmc_tpu.experiments.script_builder import TqdmToLogger
+
+    logger = logging.getLogger("tqdm_test")
+    logger.setLevel(logging.INFO)
+    stream = io.StringIO()
+    logger.addHandler(logging.StreamHandler(stream))
+    out = TqdmToLogger(logger)
+    out.write(" 50%|#####     | 5/10\r")
+    out.flush()
+    out.write("")
+    out.flush()          # empty buffers are not logged
+    assert stream.getvalue().strip() == "50%|#####     | 5/10"
