@@ -1,14 +1,21 @@
 """Posterior-moment comparison: this framework (TPU) vs the reference NumPy
-implementation, on identical synthetic SVM data.
+implementation — the north-star acceptance criterion's own protocol.
 
-Runs the same SGLD configuration (eps=0.1, S=40, B=10, Poyiadjis O(N)
-N=1000, projection each step) from the same initialization through both
-implementations, and compares post-burn-in posterior means / sds of the
-natural parameters (phi, sigma, tau).  The two chains use different RNGs,
-so agreement is expected within Monte-Carlo error of the posterior spread.
+Three head-to-head legs, each running the same SGLD configuration from the
+same initialization through both implementations and comparing post-burn-in
+posterior means / sds in the natural trace-eval coordinates:
+
+  * synthetic SVM  (phi, sigma, tau); eps=0.1, S=40, B=10, Poyiadjis-O(N)
+  * synthetic GARCH (log_mu, logit_phi, logit_lambduh, tau); same config
+  * EUR/US exchange-rate segment-1 SVM + GARCH legs at the reference demo
+    protocol (`save_svm_params.py:60-91`: eps=1e-3, S=16, B=4,
+    Poyiadjis-O(N)) at reduced budget
+
+The two chains use different RNGs, so agreement is expected within
+Monte-Carlo error of the posterior spread (max |Δmean| / pooled sd < 1).
 
 Usage: python artifacts/reference_comparison.py [--ours_steps 4000]
-       [--ref_seconds 120]
+       [--ref_seconds 120] [--legs svm garch eurus]
 Writes artifacts/reference_comparison.md
 """
 import argparse
@@ -71,48 +78,257 @@ def run_reference(observations, seconds, seed=2):
                 seconds=time.time() - t0)
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--ours_steps", type=int, default=4000)
-    ap.add_argument("--ref_seconds", type=float, default=120.0)
-    ap.add_argument("--T", type=int, default=1000)
-    args = ap.parse_args()
-
+def run_ours_garch(observations, steps, seed=1, epsilon=0.1, S=40, B=10,
+                   N=1000):
     import jax
-    from sgmcmc_tpu.models import svm
-    true = svm.from_scalars(A=0.9, Q=0.5, R=1.0)
-    ys, _ = svm.generate_data(jax.random.PRNGKey(0), true, args.T)
-    obs = np.asarray(ys, dtype=np.float64)
+    from sgmcmc_tpu.inference.samplers import GARCHSampler
+    from sgmcmc_tpu.models import garch
 
-    ours = run_ours(ys, args.ours_steps)
-    ref = run_reference(obs, args.ref_seconds)
+    s = GARCHSampler(observations=observations, seed=seed)
+    s.parameters = garch.from_alpha_beta_gamma(alpha=0.2, beta=0.2,
+                                               gamma=0.2, R=1.0)
+    t0 = time.time()
+    trace = s.fit_scan("SGLD", num_iters=steps, epsilon=epsilon, N=N,
+                       subsequence_length=S, buffer_length=B,
+                       pf="poyiadjis_N", resampler="systematic",
+                       resample_mode="auto")
+    elapsed = time.time() - t0
+    burn = steps // 2
+    lr = np.abs(np.asarray(trace.LRinv_vec)[burn:, 0])
+    return dict(log_mu=np.asarray(trace.log_mu)[burn:, 0],
+                logit_phi=np.asarray(trace.logit_phi)[burn:, 0],
+                logit_lambduh=np.asarray(trace.logit_lambduh)[burn:, 0],
+                tau=1.0 / lr, steps=steps, seconds=elapsed)
 
-    lines = ["# Posterior comparison: sgmcmc_tpu (TPU) vs reference NumPy",
-             "",
-             f"Synthetic SVM, T={args.T}, truth phi=0.9 sigma={0.5**0.5:.3f}"
-             f" tau=1.0; SGLD eps=0.1 S=40 B=10 Poyiadjis-O(N) N=1000.",
-             "",
+
+def run_reference_garch(observations, seconds, seed=2, epsilon=0.1, S=40,
+                        B=10, N=1000):
+    sys.path.insert(0, "/root/reference")
+    np.random.seed(seed)
+    from sgmcmc_ssm.models.garch import (GARCHParameters, GARCHPrior,
+                                         GARCHSampler)
+
+    sampler = GARCHSampler(n=1, m=1, observations=np.asarray(observations))
+    sampler.prior = GARCHPrior.generate_default_prior(n=1, m=1)
+    lm, lp, ll = GARCHParameters.convert_alpha_beta_gamma(0.2, 0.2, 0.2)
+    sampler.parameters = GARCHParameters(
+        log_mu=np.atleast_1d(lm), logit_phi=np.atleast_1d(lp),
+        logit_lambduh=np.atleast_1d(ll), LRinv=np.array([[1.0]]))
+    kw = dict(kind="pf", pf="poyiadjis_N", N=N, subsequence_length=S,
+              buffer_length=B, epsilon=epsilon)
+    rows = dict(log_mu=[], logit_phi=[], logit_lambduh=[], tau=[])
+    t0 = time.time()
+    n = 0
+    while time.time() - t0 < seconds:
+        sampler.sample_sgld(**kw)
+        sampler.project_parameters()
+        q = sampler.parameters
+        rows["log_mu"].append(float(np.ravel(q.log_mu)[0]))
+        rows["logit_phi"].append(float(np.ravel(q.logit_phi)[0]))
+        rows["logit_lambduh"].append(float(np.ravel(q.logit_lambduh)[0]))
+        rows["tau"].append(float(abs(np.ravel(q.tau)[0])))
+        n += 1
+    burn = n // 2
+    out = {k: np.array(v[burn:]) for k, v in rows.items()}
+    out.update(steps=n, seconds=time.time() - t0)
+    return out
+
+
+def run_ours_eurus(observations, model, steps, seed=1, N=1000):
+    """Segment leg at the reference demo protocol
+    (`save_svm_params.py:60-91`): eps=1e-3, S=16, B=4, Poyiadjis O(N)."""
+    import jax
+    from sgmcmc_tpu.inference.samplers import GARCHSampler, SVMSampler
+
+    if model == "svm":
+        s = SVMSampler(observations=observations, seed=seed)
+    else:
+        s = GARCHSampler(observations=observations, seed=seed)
+    s.project_parameters()
+    p0 = s.parameters
+    t0 = time.time()
+    trace = s.fit_scan("SGLD", num_iters=steps, epsilon=0.001, N=N,
+                       subsequence_length=16, buffer_length=4,
+                       pf="poyiadjis_N", resampler="systematic",
+                       resample_mode="auto")
+    elapsed = time.time() - t0
+    burn = steps // 2
+    if model == "svm":
+        lq = np.abs(np.asarray(trace.LQinv_vec)[burn:, 0])
+        lr = np.abs(np.asarray(trace.LRinv_vec)[burn:, 0])
+        out = dict(phi=np.asarray(trace.A)[burn:, 0, 0], sigma=1.0 / lq,
+                   tau=1.0 / lr)
+    else:
+        lr = np.abs(np.asarray(trace.LRinv_vec)[burn:, 0])
+        out = dict(log_mu=np.asarray(trace.log_mu)[burn:, 0],
+                   logit_phi=np.asarray(trace.logit_phi)[burn:, 0],
+                   logit_lambduh=np.asarray(trace.logit_lambduh)[burn:, 0],
+                   tau=1.0 / lr)
+    out.update(steps=steps, seconds=elapsed, init=p0)
+    return out
+
+
+def run_reference_eurus(observations, model, seconds, init, seed=2, N=1000):
+    sys.path.insert(0, "/root/reference")
+    np.random.seed(seed)
+    obs = np.asarray(observations)
+    kw = dict(kind="pf", pf="poyiadjis_N", N=N, subsequence_length=16,
+              buffer_length=4, epsilon=0.001)
+    if model == "svm":
+        from sgmcmc_ssm.models.svm import SVMParameters, SVMPrior, SVMSampler
+        sampler = SVMSampler(n=1, m=1, observations=obs)
+        sampler.prior = SVMPrior.generate_default_prior(n=1, m=1)
+        sampler.parameters = SVMParameters(
+            A=np.asarray(init.A, np.float64),
+            LQinv=np.atleast_2d(np.asarray(init.LQinv_vec, np.float64)),
+            LRinv=np.atleast_2d(np.asarray(init.LRinv_vec, np.float64)))
+        names = ["phi", "sigma", "tau"]
+
+        def read(q):
+            return dict(phi=float(q.A[0, 0]), sigma=float(abs(q.sigma)),
+                        tau=float(abs(q.tau)))
+    else:
+        from sgmcmc_ssm.models.garch import (GARCHParameters, GARCHPrior,
+                                             GARCHSampler)
+        sampler = GARCHSampler(n=1, m=1, observations=obs)
+        sampler.prior = GARCHPrior.generate_default_prior(n=1, m=1)
+        sampler.parameters = GARCHParameters(
+            log_mu=np.asarray(init.log_mu, np.float64),
+            logit_phi=np.asarray(init.logit_phi, np.float64),
+            logit_lambduh=np.asarray(init.logit_lambduh, np.float64),
+            LRinv=np.atleast_2d(np.asarray(init.LRinv_vec, np.float64)))
+        names = ["log_mu", "logit_phi", "logit_lambduh", "tau"]
+
+        def read(q):
+            return dict(log_mu=float(np.ravel(q.log_mu)[0]),
+                        logit_phi=float(np.ravel(q.logit_phi)[0]),
+                        logit_lambduh=float(np.ravel(q.logit_lambduh)[0]),
+                        tau=float(abs(np.ravel(q.tau)[0])))
+
+    rows = {k: [] for k in names}
+    t0 = time.time()
+    n = 0
+    while time.time() - t0 < seconds:
+        sampler.sample_sgld(**kw)
+        sampler.project_parameters()
+        vals = read(sampler.parameters)
+        for k in names:
+            rows[k].append(vals[k])
+        n += 1
+    burn = n // 2
+    out = {k: np.array(v[burn:]) for k, v in rows.items()}
+    out.update(steps=n, seconds=time.time() - t0)
+    return out
+
+
+def compare_table(title, names, ours, ref, truth=None):
+    lines = [f"## {title}", "",
              f"- ours: {ours['steps']} steps in {ours['seconds']:.1f}s"
-             f" ({ours['steps']/ours['seconds']:.0f} steps/s, 1 chain)",
+             f" ({ours['steps']/max(ours['seconds'],1e-9):.0f} steps/s,"
+             f" 1 chain)",
              f"- reference: {ref['steps']} steps in {ref['seconds']:.1f}s"
-             f" ({ref['steps']/ref['seconds']:.1f} steps/s)",
-             "",
-             "| param | truth | ours mean+-sd | reference mean+-sd | |diff|/sd |",
-             "|---|---|---|---|---|"]
-    truth = dict(phi=0.9, sigma=0.5 ** 0.5, tau=1.0)
+             f" ({ref['steps']/max(ref['seconds'],1e-9):.1f} steps/s)",
+             ""]
+    head = "| param |" + (" truth |" if truth else "") + \
+        " ours mean+-sd | reference mean+-sd | |diff|/sd |"
+    lines += [head, "|---|" + ("---|" if truth else "") + "---|---|---|"]
     max_z = 0.0
-    for p in ["phi", "sigma", "tau"]:
+    for p in names:
         mo, so = ours[p].mean(), ours[p].std()
         mr, sr = ref[p].mean(), ref[p].std()
         pooled = max((so ** 2 + sr ** 2) ** 0.5, 1e-6)
         z = abs(mo - mr) / pooled
         max_z = max(max_z, z)
-        lines.append(f"| {p} | {truth[p]:.3f} | {mo:.3f}+-{so:.3f} "
+        t = f" {truth[p]:.3f} |" if truth else ""
+        lines.append(f"| {p} |{t} {mo:.3f}+-{so:.3f} "
                      f"| {mr:.3f}+-{sr:.3f} | {z:.2f} |")
-    lines += ["",
-              f"Max |mean difference| / pooled posterior sd = {max_z:.2f} "
-              f"(<1 means the two samplers' posteriors overlap within one "
-              f"posterior standard deviation)."]
+    lines += ["", f"Max |mean difference| / pooled posterior sd = "
+              f"{max_z:.2f}.", ""]
+    return lines, max_z
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ours_steps", type=int, default=4000)
+    ap.add_argument("--ref_seconds", type=float, default=120.0)
+    ap.add_argument("--T", type=int, default=1000)
+    ap.add_argument("--legs", nargs="+",
+                    default=["svm", "garch", "eurus"])
+    ap.add_argument("--eurus_segment", type=int, default=1)
+    ap.add_argument("--eurus_N", type=int, default=1000)
+    args = ap.parse_args()
+
+    import jax
+    lines = ["# Posterior comparison: sgmcmc_tpu (TPU) vs reference NumPy",
+             "",
+             "Same data, same SGLD configuration, same initialization, "
+             "independent RNGs; post-burn-in (last half) posterior moments "
+             "in natural coordinates.  Agreement criterion: "
+             "max |Δmean| / pooled posterior sd < 1.", ""]
+    zs = {}
+
+    if "svm" in args.legs:
+        from sgmcmc_tpu.models import svm
+        true = svm.from_scalars(A=0.9, Q=0.5, R=1.0)
+        ys, _ = svm.generate_data(jax.random.PRNGKey(0), true, args.T)
+        ours = run_ours(ys, args.ours_steps)
+        ref = run_reference(np.asarray(ys, np.float64), args.ref_seconds)
+        sec, z = compare_table(
+            f"Synthetic SVM (T={args.T}; eps=0.1 S=40 B=10 "
+            f"Poyiadjis-O(N) N=1000)", ["phi", "sigma", "tau"], ours, ref,
+            truth=dict(phi=0.9, sigma=0.5 ** 0.5, tau=1.0))
+        lines += sec
+        zs["svm"] = z
+
+    if "garch" in args.legs:
+        from sgmcmc_tpu.models import garch
+        true_g = garch.from_alpha_beta_gamma(alpha=0.1, beta=0.4,
+                                             gamma=0.3, R=0.5)
+        ys_g, _ = garch.generate_data(jax.random.PRNGKey(1), true_g, args.T)
+        ours = run_ours_garch(ys_g, args.ours_steps)
+        ref = run_reference_garch(np.asarray(ys_g, np.float64),
+                                  args.ref_seconds)
+        truth_g = dict(
+            log_mu=float(np.log(0.1 / (1 - 0.7))),
+            logit_phi=float(np.log(0.7 / 0.3)),
+            logit_lambduh=float(np.log((0.4 / 0.7) / (0.3 / 0.7))),
+            tau=float(0.5 ** 0.5))
+        sec, z = compare_table(
+            f"Synthetic GARCH (T={args.T}; alpha=0.1 beta=0.4 gamma=0.3 "
+            f"R=0.5; eps=0.1 S=40 B=10 Poyiadjis-O(N) N=1000)",
+            ["log_mu", "logit_phi", "logit_lambduh", "tau"], ours, ref,
+            truth=truth_g)
+        lines += sec
+        zs["garch"] = z
+
+    if "eurus" in args.legs:
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                        "demo", "exchange_rate"))
+        from exchange_rate_demo import DEFAULT_DATA, load_segments
+        segments = load_segments(DEFAULT_DATA, min_len=25)
+        obs = segments[args.eurus_segment]
+        for model in ["svm", "garch"]:
+            ours = run_ours_eurus(obs, model, args.ours_steps,
+                                  N=args.eurus_N)
+            ref = run_reference_eurus(np.asarray(obs, np.float64), model,
+                                      args.ref_seconds, ours["init"],
+                                      N=args.eurus_N)
+            names = (["phi", "sigma", "tau"] if model == "svm" else
+                     ["log_mu", "logit_phi", "logit_lambduh", "tau"])
+            sec, z = compare_table(
+                f"EUR/US segment {args.eurus_segment} "
+                f"(T={obs.shape[0]}), {model.upper()} leg "
+                f"(`save_{model}_params.py:60-91` protocol: eps=1e-3 "
+                f"S=16 B=4 Poyiadjis-O(N) N={args.eurus_N})",
+                names, ours, ref)
+            lines += sec
+            zs[f"eurus_{model}"] = z
+
+    worst = max(zs.values())
+    lines += [f"**Overall: max |Δmean|/pooled-sd across all legs = "
+              f"{worst:.2f}** ({'PASS' if worst < 1 else 'FAIL'} at the "
+              f"<1 north-star criterion).  Legs: "
+              + ", ".join(f"{k}={v:.2f}" for k, v in zs.items()) + "."]
     out = "\n".join(lines)
     print(out)
     with open(os.path.join(os.path.dirname(__file__),

@@ -37,7 +37,15 @@ def main():
     ap.add_argument("--fit_time", type=float, default=600.0,
                     help="wall-clock budget per leg, seconds "
                          "(reference: 28800)")
-    ap.add_argument("--chunk_iters", type=int, default=2000)
+    ap.add_argument("--chunk_iters", type=int, default=2000,
+                    help="iterations per compiled chunk for the SGLD leg")
+    ap.add_argument("--ld_chunk_iters", type=int, default=None,
+                    help="iterations per compiled chunk for the LD leg "
+                         "(default: auto-scaled by total observation count "
+                         "so one program execution stays under the remote "
+                         "TPU worker's watchdog; the LD leg filters every "
+                         "full segment per iteration, ~100x heavier than "
+                         "an SGLD subsequence step)")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -52,8 +60,15 @@ def main():
     os.makedirs(os.path.join(out_dir, "samples"), exist_ok=True)
 
     segments = load_segments(args.data or DEFAULT_DATA, min_len=25)
-    print(f"{len(segments)} segments, "
-          f"{sum(s.shape[0] for s in segments)} observations")
+    total_obs = sum(s.shape[0] for s in segments)
+    print(f"{len(segments)} segments, {total_obs} observations")
+
+    # Per-leg chunk sizes: a single multi-minute XLA execution kills the
+    # remote TPU worker (see CLAUDE.md), and the LD leg is ~total_obs/16
+    # heavier per iteration than the SGLD subsequence leg.
+    ld_chunk = args.ld_chunk_iters
+    if ld_chunk is None:
+        ld_chunk = 200 if total_obs <= 1000 else 50
 
     cls = {"svm": SeqSVMSampler, "garch": SeqGARCHSampler,
            "svjm": SeqSVJMSampler}[args.model]
@@ -71,9 +86,10 @@ def main():
         eps = kw.pop("epsilon")
         # whole-chunk-compiled wall-clock fit with adaptive thinning
         # (bounds the host-side trace over the 8 h reference budget)
+        chunk = args.chunk_iters if name == "sgld" else ld_chunk
         params_list, times = sampler.fit_timed(
             "SGLD", max_time=args.fit_time, epsilon=eps,
-            chunk_iters=args.chunk_iters, **kw)
+            chunk_iters=chunk, **kw)
         path = os.path.join(out_dir, "samples", f"{name}_trace.p")
         ckpt.save_trace(path, params_list, times)
         print(f"{name}: {len(params_list)} samples in {times[-1]:.0f}s "

@@ -193,7 +193,42 @@ class OfflineEvaluator(BaseEvaluator):
             return None
         return int(done[i] + gaps[i] // 2)
 
-    def evaluate(self, num_to_eval: int | None = None, tqdm=None):
+    def evaluate(self, num_to_eval: int | None = None, tqdm=None,
+                 iter_func_name: str | list[str] | None = None,
+                 iter_func_kwargs: dict | list[dict] | None = None):
+        """Evaluate trace points in bisection order.
+
+        ``iter_func_name`` / ``iter_func_kwargs`` mirror the reference's
+        per-iteration sampler hook (`OfflineEvaluator.evaluate`,
+        `evaluator.py:524-620`): after loading each trace point's
+        parameters and BEFORE the metric functions run, call the named
+        sampler method(s) — e.g. ``"project_parameters"``, or a Gibbs
+        refinement step.  A string names one method; a list names several,
+        with ``iter_func_kwargs`` a matching list of kwarg dicts.
+        """
+        if iter_func_name is None:
+            iter_calls = []
+        elif isinstance(iter_func_name, str):
+            if iter_func_kwargs is not None and not isinstance(
+                    iter_func_kwargs, dict):
+                raise TypeError("iter_func_kwargs must be a dict when "
+                                "iter_func_name is a string")
+            iter_calls = [(iter_func_name, iter_func_kwargs or {})]
+        elif isinstance(iter_func_name, list):
+            if iter_func_kwargs is None:
+                iter_func_kwargs = [{} for _ in iter_func_name]
+            if (not isinstance(iter_func_kwargs, list)
+                    or len(iter_func_kwargs) != len(iter_func_name)):
+                raise ValueError("iter_func_kwargs must be a list of dicts "
+                                 "matching iter_func_name")
+            iter_calls = list(zip(iter_func_name, iter_func_kwargs))
+        else:
+            raise TypeError("Invalid iter_func_name")
+        for name, _ in iter_calls:
+            if getattr(self.sampler, name, None) is None:
+                raise ValueError(
+                    f"iter_func_name '{name}' is not in sampler")
+
         count = 0
         it = range(num_to_eval) if num_to_eval else iter(int, 1)
         if tqdm is not None and num_to_eval:
@@ -203,6 +238,8 @@ class OfflineEvaluator(BaseEvaluator):
             if idx is None:
                 break
             self.sampler.parameters = self.parameters_list[idx]
+            for name, kwargs in iter_calls:
+                getattr(self.sampler, name)(**kwargs)
             extra = {}
             if self.parameters_times is not None:
                 extra["time"] = self.parameters_times[idx]

@@ -54,7 +54,14 @@ KSD_VARIABLES = {
     "svjm": ["phi", "sigma", "tau", "logit_pJ", "sigmaJ"],
     "garch": ["log_mu", "logit_phi", "logit_lambduh", "tau"],
     "lgssm": ["A", "Q", "R"],
+    # HMM family (beyond-reference: the reference has no HMM driver):
+    # simplex rows in logit storage coordinates, state means / AR
+    # matrices, per-state emission scale tau = 1/LRinv
+    "gauss_hmm": ["logit_pi", "mu", "tau"],
+    "arphmm": ["logit_pi", "D", "tau"],
 }
+
+HMM_MODELS = ("gauss_hmm", "arphmm")
 
 
 def convert_gradient(model_name: str, params, grad):
@@ -112,6 +119,24 @@ def convert_gradient(model_name: str, params, grad):
             A=np.ravel(np.asarray(grad.A)),
             Q=-0.5 * np.ravel(np.asarray(grad.LQinv_vec)) * LQ ** 3,
             R=-0.5 * np.ravel(np.asarray(grad.LRinv_vec)) * LR ** 3)
+    elif model_name in HMM_MODELS:
+        # m=1 HMM family (the driver's synthetic setup): logit_pi rows and
+        # the mean/AR block pass through in storage coordinates; the
+        # per-state emission scale tau_k = 1/LRinv_k has d tau/dLRinv =
+        # -LRinv^{-2}, so g_tau = -g_LRinv * LRinv^2 (exact chain rule)
+        LR = np.ravel(np.asarray(params.LRinv_vec))
+        loc_name = "mu" if model_name == "gauss_hmm" else "D"
+        loc = getattr(params, loc_name)
+        vals = {
+            "logit_pi": np.ravel(np.asarray(params.logit_pi)),
+            loc_name: np.ravel(np.asarray(loc)),
+            "tau": 1.0 / np.abs(LR),
+        }
+        grads = {
+            "logit_pi": np.ravel(np.asarray(grad.logit_pi)),
+            loc_name: np.ravel(np.asarray(getattr(grad, loc_name))),
+            "tau": -np.ravel(np.asarray(grad.LRinv_vec)) * LR ** 2,
+        }
     else:
         raise ValueError(f"no natural coordinates for {model_name}")
     return SimpleNamespace(**vals), SimpleNamespace(**grads)
@@ -121,6 +146,14 @@ TRUE_PARAMS = {
     "svjm": dict(A=0.9, Q=0.5, R=1.0, pJ=0.05, QJ=2.0),
     "lgssm": dict(A=0.9, Q=0.5, R=1.0),
     "garch": dict(alpha=0.1, beta=0.4, gamma=0.3, R=0.5),
+    # well-separated 2-state synthetic setups (the reference has no HMM
+    # driver; these mirror its LGSSM demo scale)
+    "gauss_hmm": dict(pi=[[0.9, 0.1], [0.1, 0.9]],
+                      mu=[[-1.0], [1.0]],
+                      R=[[[0.5]], [[0.5]]]),
+    "arphmm": dict(pi=[[0.9, 0.1], [0.1, 0.9]],
+                   D=[[[0.7]], [[-0.7]]],
+                   R=[[[0.5]], [[0.5]]]),
 }
 
 
@@ -147,6 +180,16 @@ def _make_true_params(model_name: str, dtype=None):
         from ..models import garch
         return garch.from_alpha_beta_gamma(**TRUE_PARAMS["garch"],
                                            dtype=dtype)
+    if model_name == "gauss_hmm":
+        from ..models import gauss_hmm
+        p = TRUE_PARAMS["gauss_hmm"]
+        return gauss_hmm.from_values(np.array(p["pi"]), np.array(p["mu"]),
+                                     np.array(p["R"]), dtype=dtype)
+    if model_name == "arphmm":
+        from ..models import arphmm
+        p = TRUE_PARAMS["arphmm"]
+        return arphmm.from_values(np.array(p["pi"]), np.array(p["D"]),
+                                  np.array(p["R"]), dtype=dtype)
     raise ValueError(model_name)
 
 
@@ -212,6 +255,23 @@ def do_setup(args, sampler_grid=None):
 def default_sampler_grid(model_name):
     """Default experiment grid mirroring `demo_setup.py` variants
     (`svm/demo_setup.py:76-113`, `lgssm/demo_setup.py:76-134`)."""
+    if model_name in HMM_MODELS:
+        # Gibbs reference + buffered SGLD + SCIR simplex variant, mirroring
+        # the Gibbs-anchored pattern of `lgssm/demo_setup.py:88-97` (the
+        # reference has no HMM driver — beyond-reference reach)
+        grids = [
+            dict(iter_type=["Gibbs"], name=["GIBBS"]),
+            dict(iter_type=["SGLD"], kind=["marginal"], epsilon=[0.1],
+                 subsequence_length=[16], buffer_length=[0, 4],
+                 steps_per_iteration=[10], name=["SGLD"]),
+            dict(iter_type=["SCIR"], epsilon=[0.1],
+                 subsequence_length=[16], buffer_length=[4],
+                 steps_per_iteration=[10], name=["SCIR"]),
+        ]
+        out = []
+        for g in grids:
+            out.extend(cfg.parameter_grid(g))
+        return out
     grids = [
         dict(iter_type=["SGLD"], epsilon=[0.1], subsequence_length=[40],
              buffer_length=[0, 10], steps_per_iteration=[10],
@@ -239,12 +299,17 @@ def default_sampler_grid(model_name):
 # fit
 # --------------------------------------------------------------------------
 
-def _build_sampler(options, data, init_params) -> Sampler:
-    model = get_model(options["model"])
-    sampler = Sampler(model, observations=jnp.asarray(data["observations"]),
-                      seed=options.get("seed", 0),
-                      parameters=init_params)
-    return sampler
+def _build_sampler(options, data, init_params,
+                   obs_key: str = "observations") -> Sampler:
+    """Model-specific sampler (Gibbs/SCIR mixins where they exist) so every
+    iter_type in the model's grid is callable (`svm/driver.py:342-358`)."""
+    from ..inference import samplers as S
+    cls = {"svm": S.SVMSampler, "svjm": S.SVJMSampler,
+           "garch": S.GARCHSampler, "lgssm": S.LGSSMSampler,
+           "gauss_hmm": S.GaussHMMSampler, "arphmm": S.ARPHMMSampler}[
+        options["model"]]
+    return cls(observations=jnp.asarray(data[obs_key]),
+               seed=options.get("seed", 0), parameters=init_params)
 
 
 def _metric_fns(options, data, sampler):
@@ -335,6 +400,10 @@ def _iter_funcs(iter_type, options, step_kwargs):
     if iter_type == "ADAGRAD":
         return (["step_adagrad", "project_parameters"],
                 [dict(epsilon=eps, **step_kwargs), {}])
+    if iter_type == "SCIR":
+        # SGLD with the exact Gamma-process simplex update
+        # (`hmm_helper.py:489-524`); projection is inside the step
+        return (["sample_sgld_scir"], [dict(epsilon=eps, **step_kwargs)])
     if iter_type == "Gibbs":
         return (["sample_gibbs", "project_parameters"], [{}, {}])
     raise ValueError(f"Unrecognized iter_type {iter_type}")
@@ -367,10 +436,8 @@ def do_eval(args, options, target: str):
         params_list = half_average_parameters_list(params_list)
     obs_key = "observations" if target.endswith("train") else \
         "test_observations"
-    model = get_model(options["model"])
-    sampler = Sampler(model, observations=jnp.asarray(data[obs_key]),
-                      seed=options.get("seed", 0),
-                      parameters=params_list[-1])
+    sampler = _build_sampler(options, data, params_list[-1],
+                             obs_key=obs_key)
     metric_fns = _metric_fns(options, data, sampler)
     metric_fns.append(mf.noisy_logjoint_loglike_metric(
         N=args.eval_N, subsequence_length=-1))
@@ -403,13 +470,11 @@ def do_eval_ksd(args, options):
                           args.max_ksd_samples).astype(int)
         params_list = [params_list[i] for i in idx]
 
-    model = get_model(options["model"])
-    sampler = Sampler(model, observations=jnp.asarray(data["observations"]),
-                      seed=options.get("seed", 0),
-                      parameters=params_list[0])
+    sampler = _build_sampler(options, data, params_list[0])
     grad_kwargs = dict(N=args.ksd_N, subsequence_length=-1, is_scaled=False)
-    if not model.has_pf:
+    if not sampler.model.has_pf:
         grad_kwargs["kind"] = "marginal"
+        grad_kwargs.pop("N")
 
     # KSD grad state is checkpointed and resumable, mirroring the
     # reference's KSD-state protocol (`svm/driver.py:968-999, 1068-1075`):
@@ -561,7 +626,8 @@ def build_parser():
         fromfile_prefix_chars="@")
     parser.add_argument("--path", default="./experiment")
     parser.add_argument("--model", default="svm",
-                        choices=["svm", "svjm", "lgssm", "garch"])
+                        choices=["svm", "svjm", "lgssm", "garch",
+                                 "gauss_hmm", "arphmm"])
     parser.add_argument("--experiment_id", type=int, default=-1)
     parser.add_argument("--setup", action="store_true")
     parser.add_argument("--make_scripts", action="store_true")

@@ -658,6 +658,13 @@ class Sampler:
         if lag is None and pf == "filter":
             raise ValueError("pf must not be 'filter' for smoothing")
         fixed_lag = int(lag) if (lag is not None and lag > 0) else None
+        if squared and target != "y" and m.name != "garch":
+            # `squared` is a GARCH-only contract in the reference too
+            # (`garch/helper.py:236-267`; no other helper accepts it).
+            # Validated BEFORE the PF compiles/executes — an invalid call
+            # must not pay a full particle-filter run on a tunneled TPU.
+            raise NotImplementedError(
+                f"squared=True latent moments are GARCH-only, not {m.name}")
 
         if target == "y":
             if m.y_statistic is None:
@@ -690,12 +697,6 @@ class Sampler:
         stat = self._cache[cache_key](
             self.next_key(), self.parameters, self.observations)
         stat = stat.reshape(T, stat_dim)
-        if squared and target != "y" and m.name != "garch":
-            # `squared` is a GARCH-only contract in the reference too
-            # (`garch/helper.py:236-267`; no other helper accepts it)
-            raise NotImplementedError(
-                f"squared=True latent moments are GARCH-only, not "
-                f"{m.name}")
         if target == "y":
             mean, cov = m.y_moments(self.parameters, stat)
         elif m.latent_moments is not None:
@@ -735,13 +736,17 @@ class Sampler:
             raise NotImplementedError(
                 f"{m.name} has no PF predictive-loglikelihood statistic")
         from ..ops.buffered import run_buffered_pf
-        stat_fn = m.make_predictive_stat_fn(self.observations,
-                                            num_steps_ahead)
         kernel_name = kwargs.get("kernel")
-        cache_key = ("pred_ll", num_steps_ahead, N, kernel_name,
+        # The predictive statistic closes over future-observation windows;
+        # build it INSIDE the jitted closure from the obs *argument* so a
+        # reassigned `sampler.observations` (even same-shape) is always the
+        # array being scored — never a baked constant.  T in the key keeps
+        # distinct lengths from sharing one compiled program.
+        cache_key = ("pred_ll", num_steps_ahead, N, self.T, kernel_name,
                      kwargs.get("resample_mode", "auto"))
         if cache_key not in self._cache:
             def run(key, params, obs):
+                stat_fn = m.make_predictive_stat_fn(obs, num_steps_ahead)
                 out = run_buffered_pf(
                     m.get_kernel(kernel_name), stat_fn, params, obs, key=key,
                     n_particles=N, statistic_dim=num_steps_ahead + 1,
@@ -910,26 +915,81 @@ class SeqSampler(Sampler):
                 for i in range(len(self._sequences))]
 
     def predictive_loglikelihood(self, num_sequences: int = -1,
-                                 **kwargs) -> float:
+                                 num_steps_ahead: int = 5,
+                                 kind: str | None = None, N: int = 1000,
+                                 lag: int = 1, **kwargs):
         """Sum of per-sequence predictive loglikelihoods over a random
         subset, rescaled by T_total / T_chosen
         (`SeqSGMCMCSampler.predictive_loglikelihood`,
-        `sgmcmc_sampler.py:1224-1248`)."""
+        `sgmcmc_sampler.py:1224-1248`).
+
+        The PF path runs as ONE vmapped padded-sequence program (validity-
+        masked tails via ``step_valid`` + ``valid_length``) — one compile
+        regardless of how many distinct segment lengths exist, unlike a
+        per-sequence Python loop (one compile per length, ~100 ms RPC per
+        call on tunneled TPU backends)."""
+        m = self.model
+        if kind is None:
+            kind = self._default_kind()
         n_seq = len(self._sequences)
+        lengths_np = np.asarray(self.lengths)
         idx = np.arange(n_seq)
         if num_sequences != -1:
             rng = np.random.default_rng(
                 int(jax.random.randint(self.next_key(), (), 0, 2 ** 31)))
             idx = rng.choice(idx, num_sequences, replace=False)
-        total, S = 0.0, 0.0
-        lengths = np.asarray(self.lengths)
-        for i in idx:
-            total += self._sub_sampler(int(i)).predictive_loglikelihood(
-                **kwargs)
-            S += float(lengths[i])
+        if kind != "pf" or m.make_predictive_stat_fn is None:
+            # exact-message path: cheap per-sequence analytic recursions
+            total, S = 0.0, 0.0
+            for i in idx:
+                total += self._sub_sampler(int(i)).predictive_loglikelihood(
+                    num_steps_ahead=num_steps_ahead, kind=kind, N=N,
+                    lag=lag, **kwargs)
+                S += float(lengths_np[i])
+            if num_sequences != -1:
+                total *= float(lengths_np.sum()) / S
+            return total
+        from ..ops.buffered import run_buffered_pf
+        kernel_name = kwargs.get("kernel")
+        k_chosen = len(idx)
+        cache_key = ("seq_pred_ll", num_steps_ahead, N, k_chosen,
+                     kernel_name, kwargs.get("resample_mode", "auto"))
+        if cache_key not in self._cache:
+            lengths = jnp.asarray(self.lengths, jnp.int32)
+            T_max = int(self.observations.shape[1])
+
+            def one_seq(key, params, obs_i, T_i):
+                stat_fn = m.make_predictive_stat_fn(
+                    obs_i, num_steps_ahead, valid_length=T_i)
+                step_valid = (jnp.arange(T_max) < T_i).astype(obs_i.dtype)
+                out = run_buffered_pf(
+                    m.get_kernel(kernel_name), stat_fn, params, obs_i,
+                    key=key, n_particles=N,
+                    statistic_dim=num_steps_ahead + 1,
+                    smoother="filter", logsumexp_mode=True,
+                    prior_mean=m.prior_mean_var(params)[0],
+                    prior_var=m.prior_mean_var(params)[1],
+                    resample_mode=kwargs.get("resample_mode", "auto"),
+                    step_valid=step_valid)
+                return out.statistics, out.loglikelihood
+
+            def run(key, params, obs, chosen):
+                keys = jax.random.split(key, k_chosen)
+                stats, lls = jax.vmap(
+                    lambda k, i: one_seq(k, params, obs[i],
+                                         lengths[i]))(keys, chosen)
+                return (jnp.sum(stats, axis=0), jnp.sum(lls),
+                        jnp.sum(lengths[chosen]))
+
+            self._cache[cache_key] = jax.jit(run)
+        stats, loglik, S = self._cache[cache_key](
+            self.next_key(), self.parameters, self.observations,
+            jnp.asarray(idx, jnp.int32))
+        out = np.array(stats)     # writable copy
+        out[0] = float(loglik)    # slot 0 = loglik (`svm/helper.py:245-246`)
         if num_sequences != -1:
-            total *= float(lengths.sum()) / S
-        return total
+            out *= float(lengths_np.sum()) / float(S)
+        return out
 
     def exact_loglikelihood(self) -> float:
         """Sum of per-sequence exact marginal loglikelihoods

@@ -189,8 +189,15 @@ def best_permutation_metric_function_parameters(
 
 
 def metric_compare_z(true_z, num_states: int | None = None) -> Callable:
-    """Discrete-latent recovery metrics — NMI / best-permutation accuracy
-    (`metric_compare_z`, `metric_functions.py:419-438`).
+    """Discrete-latent recovery metrics — NMI / precision / recall /
+    best-permutation accuracy (`metric_compare_z`,
+    `metric_functions.py:419-438`).
+
+    Precision/recall follow the reference's cluster-matching definition on
+    the true-by-predicted confusion matrix C: precision = sum_j max_i C_ij
+    / sum(C) (each predicted cluster credited with its best-matching true
+    class), recall = sum_i max_j C_ij / sum(C).  Accuracy (best single
+    global permutation) is a repo extension kept alongside.
 
     Dispatches through the sampler's model registry entry, so it works for
     every discrete-latent family (GaussHMM, ARPHMM, ...) rather than being
@@ -222,10 +229,19 @@ def metric_compare_z(true_z, num_states: int | None = None) -> Callable:
         except ImportError:     # pragma: no cover
             nmi = float("nan")
         K = probs.shape[-1]
+        # true-by-predicted confusion matrix (numpy bincount; no sklearn)
+        Kt = max(K, int(true_z.max()) + 1)
+        cm = np.bincount(true_z.astype(int) * Kt + pred.astype(int),
+                         minlength=Kt * Kt).reshape(Kt, Kt).astype(float)
+        total = cm.sum()
+        precision = float(cm.max(axis=0).sum() / total)
+        recall = float(cm.max(axis=1).sum() / total)
         from itertools import permutations
         acc = max(np.mean(np.take(np.asarray(perm), pred) == true_z)
                   for perm in permutations(range(K)))
         return [dict(metric="z_nmi", variable="z", value=nmi),
+                dict(metric="precision", variable="z", value=precision),
+                dict(metric="recall", variable="z", value=recall),
                 dict(metric="z_accuracy", variable="z", value=float(acc))]
 
     return metric_fn

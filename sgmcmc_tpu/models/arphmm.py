@@ -65,6 +65,13 @@ class ARPHMMParams:
     def R(self):
         return jax.vmap(pos_def_mat_inv)(self.Rinv)
 
+    @property
+    def tau(self):
+        # per-state emission scale 1/diag(LRinv) — the natural trace-eval
+        # coordinate, mirroring the SVM's tau alias (svm/parameters.py:42-61)
+        return 1.0 / jnp.abs(
+            jnp.diagonal(self.LRinv, axis1=-2, axis2=-1))
+
 
 def from_values(pi, D, R, dtype=jnp.float64) -> ARPHMMParams:
     """Host-NumPy leaves (constructors must not dispatch device ops)."""

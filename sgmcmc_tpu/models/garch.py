@@ -236,12 +236,16 @@ def y_moments(params: GARCHParams, stats):
 
 
 def make_predictive_stat_fn(observations, num_steps_ahead: int,
-                            base_key=None):
+                            base_key=None, valid_length=None):
     """k-step-ahead predictive loglikelihood statistic
     (`garch_predictive_loglikelihood`, `garch/helper.py:374-412`):
     forward-simulate particles through the prior kernel and score y_{t+k}
-    under N(x_pred, R).  Returns [N, num_steps_ahead+1]."""
+    under N(x_pred, R).  Returns [N, num_steps_ahead+1].
+
+    ``valid_length`` (traced scalar) masks horizons past the true sequence
+    end for padded multi-sequence batching."""
     T = observations.shape[0]
+    T_valid = T if valid_length is None else valid_length
     if base_key is None:
         base_key = jax.random.PRNGKey(0)
 
@@ -251,7 +255,7 @@ def make_predictive_stat_fn(observations, num_steps_ahead: int,
         x_pred = x_next
         for k in range(num_steps_ahead + 1):
             tk = jnp.clip(t + k, 0, T - 1)
-            in_range = (t + k < T).astype(x_pred.dtype)
+            in_range = (t + k < T_valid).astype(x_pred.dtype)
             diff = observations[tk, 0] - x_pred[:, 0]
             ll = (-0.5 * diff * diff / R - 0.5 * _LOG_2PI
                   - 0.5 * jnp.log(R))

@@ -620,12 +620,16 @@ def y_moments(params: LGSSMParams, stats):
 
 
 def make_predictive_stat_fn(observations, num_steps_ahead: int,
-                            base_key=None):
+                            base_key=None, valid_length=None):
     """k-step-ahead Gaussian predictive-loglikelihood statistic
     (`gaussian_predictive_loglikelihood`, `lgssm/helper.py:1281-1336`):
     propagate per-particle moments through (A, Q) and score y_{t+k}
-    under N(C x_pred, C P_pred C^T + R).  Returns [N, K+1]."""
+    under N(C x_pred, C P_pred C^T + R).  Returns [N, K+1].
+
+    ``valid_length`` (traced scalar) masks horizons past the true sequence
+    end for padded multi-sequence batching."""
     T = observations.shape[0]
+    T_valid = T if valid_length is None else valid_length
 
     def stat_fn(params, x_t, x_next, y_next, t):
         A, C, Q, R = params.A, params.C, params.Q, params.R
@@ -636,7 +640,7 @@ def make_predictive_stat_fn(observations, num_steps_ahead: int,
         P_pred = jnp.zeros((n, n), dtype)
         for k in range(num_steps_ahead + 1):
             tk = jnp.clip(t + k, 0, T - 1)
-            in_range = (t + k < T).astype(dtype)
+            in_range = (t + k < T_valid).astype(dtype)
             diff = observations[tk][None, :] - x_pred @ C.T   # [N, m]
             y_cov = R + C @ P_pred @ C.T                      # [m, m]
             sol = jnp.linalg.solve(y_cov, diff.T).T

@@ -383,12 +383,17 @@ def y_moments(params: SVJMParams, stats):
 
 
 def make_predictive_stat_fn(observations, num_steps_ahead: int,
-                            n_mc: int = 1, base_key=None):
+                            n_mc: int = 1, base_key=None,
+                            valid_length=None):
     """k-step-ahead predictive loglikelihood statistic (the SVM's
     `svm_predictive_loglikelihood` protocol, `svm/helper.py:352-395`,
     with the jump-diffusion moment recursion: Var[x_{t+1}] =
-    A^2 Var[x_t] + Q + pJ*QJ)."""
+    A^2 Var[x_t] + Q + pJ*QJ).
+
+    ``valid_length`` (traced scalar) masks horizons past the true sequence
+    end for padded multi-sequence batching."""
     T = observations.shape[0]
+    T_valid = T if valid_length is None else valid_length
     if base_key is None:
         base_key = jax.random.PRNGKey(0)
 
@@ -401,7 +406,7 @@ def make_predictive_stat_fn(observations, num_steps_ahead: int,
         x_var = jnp.zeros(())
         for k in range(num_steps_ahead + 1):
             tk = jnp.clip(t + k, 0, T - 1)
-            in_range = (t + k < T).astype(x_mean.dtype)
+            in_range = (t + k < T_valid).astype(x_mean.dtype)
             y_tk = observations[tk, 0]
             z = jax.random.normal(jax.random.fold_in(base_key, 7919 * k + 1),
                                   (N, n_mc), x_mean.dtype)

@@ -305,12 +305,18 @@ def y_moments(params: SVMParams, stats):
 
 
 def make_predictive_stat_fn(observations, num_steps_ahead: int,
-                            n_mc: int = 1, base_key=None):
+                            n_mc: int = 1, base_key=None,
+                            valid_length=None):
     """k-step-ahead predictive loglikelihood statistic
     (`svm_predictive_loglikelihood`, `svm/helper.py:352-395`): propagate the
     latent AR(1) moments k steps, Monte-Carlo over the latent, and score
-    y_{t+k} under N(0, exp(x) R).  Returns [N, num_steps_ahead+1]."""
+    y_{t+k} under N(0, exp(x) R).  Returns [N, num_steps_ahead+1].
+
+    ``valid_length`` (traced scalar, default the static length) masks
+    horizons past the true sequence end — used by padded multi-sequence
+    batching, where observations beyond ``valid_length`` are padding."""
     T = observations.shape[0]
+    T_valid = T if valid_length is None else valid_length
     if base_key is None:
         base_key = jax.random.PRNGKey(0)
 
@@ -322,7 +328,7 @@ def make_predictive_stat_fn(observations, num_steps_ahead: int,
         x_var = jnp.zeros(())
         for k in range(num_steps_ahead + 1):
             tk = jnp.clip(t + k, 0, T - 1)
-            in_range = (t + k < T).astype(x_mean.dtype)
+            in_range = (t + k < T_valid).astype(x_mean.dtype)
             y_tk = observations[tk, 0]
             z = jax.random.normal(jax.random.fold_in(base_key, 7919 * k + 1),
                                   (N, n_mc), x_mean.dtype)

@@ -86,6 +86,57 @@ def test_fit_resume(exp_dir):
     assert it2 >= it1
 
 
+def test_hmm_models_full_pipeline(tmp_path):
+    """`--model gauss_hmm` / `arphmm` through the L6 driver: setup -> fit
+    (Gibbs + SGLD + SCIR grid) -> eval -> trace_eval(ksd) -> process_out
+    (beyond-reference: the reference ships no HMM driver)."""
+    for model in ["gauss_hmm", "arphmm"]:
+        exp_dir = str(tmp_path / model)
+        args = make_args(exp_dir, max_time=2.0, eval_N=32, ksd_N=32,
+                         num_to_eval=3, max_ksd_samples=4)
+        args.model = model
+        args.T = 48
+        args.T_test = 48
+        # prior init: truth-init makes the logmse parameter metrics an
+        # exact -inf (log10 of zero error) at iteration 0
+        args.init_methods = ["prior"]
+        grid = cfg.parameter_grid([
+            dict(iter_type=["Gibbs"], name=["GIBBS"], max_time=[2],
+                 checkpoint_num_iters=[5]),
+            dict(iter_type=["SGLD"], kind=["marginal"], epsilon=[0.05],
+                 subsequence_length=[16], buffer_length=[4],
+                 steps_per_iteration=[2], name=["SGLD"], max_time=[2],
+                 checkpoint_num_iters=[5]),
+            dict(iter_type=["SCIR"], epsilon=[0.05],
+                 subsequence_length=[16], buffer_length=[4],
+                 steps_per_iteration=[2], name=["SCIR"], max_time=[2],
+                 checkpoint_num_iters=[5]),
+        ])
+        options_list = driver.do_setup(args, sampler_grid=grid)
+        assert len(options_list) == 3
+        for o in options_list:
+            driver.do_fit(args, o)
+        driver.do_eval(args, options_list[1], "half_avg_train")
+        eval_csv = os.path.join(
+            exp_dir, "out", "eval",
+            f"{options_list[1]['experiment_id']}_half_avg_train_metrics.csv")
+        df = pd.read_csv(eval_csv)
+        assert np.all(np.isfinite(df["value"]))
+        driver.do_eval_ksd(args, options_list[1])
+        ksd = pd.read_csv(os.path.join(
+            exp_dir, "out", "trace_eval",
+            f"{options_list[1]['experiment_id']}_ksd.csv"))
+        assert set(ksd["variable"]) == set(driver.KSD_VARIABLES[model])
+        assert np.all(np.isfinite(ksd["value"]))
+        driver.do_eval_ks_test(args, options_list[1], options_list)
+        kst = pd.read_csv(os.path.join(
+            exp_dir, "out", "trace_eval",
+            f"{options_list[1]['experiment_id']}_kstest.csv"))
+        assert np.all(np.isfinite(kst["pvalue"]))
+        agg = driver.do_process_out(args, options_list)
+        assert agg is not None and len(agg) > 0
+
+
 def test_convert_gradient_exact_chain_rule():
     """Natural-coordinate scores from `convert_gradient` must equal
     autodiff of the same scalar function expressed in natural coordinates

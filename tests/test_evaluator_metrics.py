@@ -101,6 +101,57 @@ def test_ks_test_traces():
     assert diff[0]["pvalue"] < 0.01
 
 
+def test_metric_compare_z_precision_recall_arphmm():
+    """NMI + precision + recall + accuracy rows from metric_compare_z on an
+    ARPHMM (`metric_functions.py:419-438`: precision = sum_j max_i C_ij /
+    sum C on the true-by-predicted confusion matrix, recall transposed)."""
+    from sgmcmc_tpu.inference.samplers import ARPHMMSampler
+    from sgmcmc_tpu.models import arphmm
+
+    pi = np.array([[0.95, 0.05], [0.05, 0.95]])
+    D = np.stack([np.array([[0.9, 0.0]]), np.array([[-0.9, 0.0]])])
+    R = np.stack([np.eye(1) * 0.05, np.eye(1) * 0.05])
+    params = arphmm.from_values(pi, D, R)
+    ys, zs = arphmm.generate_data(jax.random.PRNGKey(5), params, 200)
+    s = ARPHMMSampler(observations=ys, parameters=params, seed=0)
+    rows = mf.metric_compare_z(np.asarray(zs))(s)
+    by_metric = {r["metric"]: r["value"] for r in rows}
+    assert {"z_nmi", "precision", "recall", "z_accuracy"} <= set(by_metric)
+    for name in ("precision", "recall", "z_accuracy"):
+        assert 0.0 <= by_metric[name] <= 1.0
+    # well-separated states at the true parameters: near-perfect recovery
+    assert by_metric["precision"] > 0.9
+    assert by_metric["recall"] > 0.9
+    # precision/recall upper-bound the single-permutation accuracy
+    assert by_metric["precision"] >= by_metric["z_accuracy"] - 1e-12
+    assert by_metric["recall"] >= by_metric["z_accuracy"] - 1e-12
+
+
+def test_offline_evaluator_iter_funcs_hook():
+    """Per-iteration sampler hook on OfflineEvaluator.evaluate
+    (`evaluator.py:524-620`): named sampler methods run after each trace
+    point's parameters load, before metrics."""
+    s, true = make_sampler()
+    calls = []
+    s.mark = lambda tag="hook": calls.append(tag)   # ad-hoc sampler method
+    trace = [true] * 3
+    e = ev.OfflineEvaluator(
+        s, trace,
+        metric_functions=[mf.metric_function_parameters(true, ["A"])])
+    e.evaluate(num_to_eval=2, iter_func_name="mark",
+               iter_func_kwargs=dict(tag="a"))
+    assert calls == ["a", "a"]
+    e.evaluate(iter_func_name=["mark", "mark"],
+               iter_func_kwargs=[dict(tag="b"), dict(tag="c")])
+    assert calls == ["a", "a", "b", "c"]
+    assert e.eval_flag.all()
+    import pytest
+    with pytest.raises(ValueError):
+        e.evaluate(iter_func_name="not_a_method")
+    with pytest.raises(ValueError):
+        e.evaluate(iter_func_name=["mark"], iter_func_kwargs=[{}, {}])
+
+
 def test_metric_function_from_sampler_and_predictive_metric():
     """Generic sampler-method metric + k-step predictive rows
     (`metric_functions.py:179-203, 383-416`)."""

@@ -223,6 +223,50 @@ def test_seq_predict_and_predictive_loglikelihood():
     assert np.all(np.isfinite(pll_sub))
 
 
+def test_seq_predictive_loglikelihood_padded_matches_per_sequence():
+    """The batched PF predictive path (one vmapped padded program with
+    step_valid + valid_length) must equal the per-sequence unpadded run
+    bit-for-bit at the same keys, and must not build per-sequence
+    sub-samplers (one compile for all segment lengths)."""
+    from sgmcmc_tpu.ops.buffered import run_buffered_pf
+    from sgmcmc_tpu.models.registry import get_model
+
+    true, seqs = make_sequences(15, n_seq=3)     # lengths 80, 120, 64
+    s = SeqSVMSampler(seqs, seed=13, parameters=true)
+    K, N = 2, 64
+    pll = s.predictive_loglikelihood(N=N, num_steps_ahead=K,
+                                     resample_mode="gather")
+    assert pll.shape == (K + 1,) and np.all(np.isfinite(pll))
+    # one compiled program, no per-sequence sub-sampler views
+    assert any(k[0] == "seq_pred_ll" for k in s._cache)
+    assert not any(isinstance(k, tuple) and k[0] == "sub"
+                   for k in s._cache)
+
+    # ops-level parity: padded + masked == truncated, same key
+    m = get_model("svm")
+    T_i = seqs[2].shape[0]
+    T_max = 120
+    padded = jnp.zeros((T_max, 1), jnp.float64).at[:T_i].set(seqs[2])
+    key = jax.random.PRNGKey(99)
+    common = dict(n_particles=N, statistic_dim=K + 1, smoother="filter",
+                  logsumexp_mode=True, resample_mode="gather",
+                  prior_mean=m.prior_mean_var(true)[0],
+                  prior_var=m.prior_mean_var(true)[1])
+    out_pad = run_buffered_pf(
+        m.get_kernel(None),
+        m.make_predictive_stat_fn(padded, K, valid_length=T_i),
+        true, padded, key=key,
+        step_valid=(jnp.arange(T_max) < T_i).astype(jnp.float64), **common)
+    out_trunc = run_buffered_pf(
+        m.get_kernel(None),
+        m.make_predictive_stat_fn(jnp.asarray(seqs[2]), K),
+        true, jnp.asarray(seqs[2]), key=key, **common)
+    np.testing.assert_allclose(np.asarray(out_pad.statistics),
+                               np.asarray(out_trunc.statistics), rtol=1e-12)
+    np.testing.assert_allclose(float(out_pad.loglikelihood),
+                               float(out_trunc.loglikelihood), rtol=1e-12)
+
+
 def test_seq_svjm_sampler_runs():
     """SeqSVJMSampler: the jump model through the multi-sequence mixin."""
     import jax
