@@ -256,6 +256,11 @@ def main():
                     default=["svm", "garch", "eurus"])
     ap.add_argument("--eurus_segment", type=int, default=1)
     ap.add_argument("--eurus_N", type=int, default=1000)
+    ap.add_argument("--eurus_ours_steps", type=int, default=None,
+                    help="default: 25x --ours_steps (the eps=1e-3 demo "
+                         "legs mix ~100x slower than the eps=0.1 "
+                         "synthetic legs; the reference budget is 8h)")
+    ap.add_argument("--eurus_ref_seconds", type=float, default=None)
     args = ap.parse_args()
 
     import jax
@@ -307,11 +312,12 @@ def main():
         from exchange_rate_demo import DEFAULT_DATA, load_segments
         segments = load_segments(DEFAULT_DATA, min_len=25)
         obs = segments[args.eurus_segment]
+        e_steps = args.eurus_ours_steps or 25 * args.ours_steps
+        e_ref = args.eurus_ref_seconds or args.ref_seconds
         for model in ["svm", "garch"]:
-            ours = run_ours_eurus(obs, model, args.ours_steps,
-                                  N=args.eurus_N)
+            ours = run_ours_eurus(obs, model, e_steps, N=args.eurus_N)
             ref = run_reference_eurus(np.asarray(obs, np.float64), model,
-                                      args.ref_seconds, ours["init"],
+                                      e_ref, ours["init"],
                                       N=args.eurus_N)
             names = (["phi", "sigma", "tau"] if model == "svm" else
                      ["log_mu", "logit_phi", "logit_lambduh", "tau"])

@@ -28,6 +28,11 @@ def main():
     ap.add_argument("--n_particles", type=int, default=128)
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--T", type=int, default=256)
+    ap.add_argument("--subseq", type=int, default=32)
+    ap.add_argument("--buffer", type=int, default=8)
+    ap.add_argument("--rng", default="host", choices=["host", "kernel"],
+                    help="'kernel' = in-kernel PRNG (bench.py's flagship "
+                         "setting on TPU)")
     args = ap.parse_args()
 
     if args.backend == "cpu":
@@ -47,9 +52,10 @@ def main():
     ys, _ = svm.generate_data(jax.random.PRNGKey(0), true, args.T)
     prior = svm.default_prior()
     cfg = sgmcmc.PFScoreConfig(
-        n_particles=args.n_particles, subsequence_length=32, buffer_length=8,
+        n_particles=args.n_particles, subsequence_length=args.subseq,
+        buffer_length=args.buffer,
         smoother="poyiadjis_N", resampler="systematic",
-        resample_mode="auto")
+        resample_mode="auto", rng=args.rng)
 
     results = {}
     for n_dev in args.devices:

@@ -87,6 +87,11 @@ class PFScoreConfig:
     # Fused-kernel resampling dot width: merge this many of the s=8 inner
     # one-hot dots into one wider MXU dot (weight-stationary W1 reuse).
     qp_merge: int = 1
+    # Software-pipeline the fused kernel's per-step qp gather groups:
+    # issue group i+1's B1 build + MXU dot before group i's VPU tail so
+    # the dot can overlap the tail instead of serializing (VERDICT r2 #3
+    # structured attempt; measured result in BENCH_NOTES).
+    pipeline: bool = False
 
 
 def _fused_eligible(config: PFScoreConfig, fused_model) -> bool:
@@ -153,7 +158,7 @@ def make_pf_score_fn(kernel: ParticleKernel, stat_fn: StatisticFn,
                 config.n_particles, prior_mean, prior_var,
                 lambduh=fused_lambduh, interpret=fused_interpret,
                 ess_threshold=config.ess_threshold, rng=config.rng,
-                qp_merge=config.qp_merge)
+                qp_merge=config.qp_merge, pipeline=config.pipeline)
         out = run_buffered_pf(
             kernel, stat_fn, params, window,
             key=key_pf, n_particles=config.n_particles,
@@ -265,7 +270,8 @@ def make_seq_pf_score_fn(kernel: ParticleKernel, stat_fn: StatisticFn,
                 config.n_particles, pm, pv, lambduh=fused_lambduh,
                 interpret=fused_interpret,
                 ess_threshold=config.ess_threshold, rng=config.rng,
-                qp_merge=config.qp_merge, step_valid=step_valid)
+                qp_merge=config.qp_merge, step_valid=step_valid,
+                pipeline=config.pipeline)
         out = run_buffered_pf(
             kernel, stat_fn, params, window, key=key_pf,
             n_particles=config.n_particles, statistic_dim=statistic_dim,

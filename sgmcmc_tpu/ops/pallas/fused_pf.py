@@ -121,7 +121,7 @@ def _box_muller(shape):
 def _fused_window_kernel(model: FusedModel, W: int, s: int, B: int,
                          lambduh: float, ess_threshold: float | None,
                          kernel_rng: bool, qp_merge: int, hi_only: bool,
-                         valid_gate: bool,
+                         valid_gate: bool, pipeline: bool,
                          pvec_ref,      # [CB, P, B] f32 VMEM (lane-replicated)
                          x0_ref,        # [CB, D*s, B] f32 VMEM
                          normals_ref,   # [CB, W, Z*s, B] f32 VMEM, or (with
@@ -230,8 +230,8 @@ def _fused_window_kernel(model: FusedModel, W: int, s: int, B: int,
             axis=2)                                           # [CB,1,B]
 
         Ks = K * s
-        outs = []
-        for qp0 in range(0, s, qp_merge):
+
+        def make_B1(qp0):
             # one dot for qp_merge sub-rows: stack their B1 blocks along
             # the sublane axis so the (weight-stationary) W1 matrix is
             # loaded into the MXU once per group instead of once per qp
@@ -241,11 +241,15 @@ def _fused_window_kernel(model: FusedModel, W: int, s: int, B: int,
                 qp_off = fiota((CB, qp_merge * B, 1), 1) // B  # group row
                 sub_in = fiota((CB, qp_merge * B, 1), 1) % B
                 posc = (s * sub_in + (qp0 + qp_off + xi_t)) / N
-            B1 = ((posc >= bnd_prev).astype(jnp.bfloat16)
-                  - (posc >= bnd_row).astype(jnp.bfloat16))   # [CB,g*B',B]
-            G = jax.lax.dot_general(
+            return ((posc >= bnd_prev).astype(jnp.bfloat16)
+                    - (posc >= bnd_row).astype(jnp.bfloat16))  # [CB,g*B',B]
+
+        def do_dot(B1):
+            return jax.lax.dot_general(
                 W1, B1, (((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=fdt)                   # [CB,R,g*B']
+
+        def tails(G, qp0, outs):
             for gi in range(qp_merge):
                 qp = qp0 + gi
                 Gq = G if qp_merge == 1 else \
@@ -265,6 +269,23 @@ def _fused_window_kernel(model: FusedModel, W: int, s: int, B: int,
                 P2 = jnp.concatenate([ones2, M2[:, :-1]], axis=1) - M2
                 Z = vals * jnp.concatenate([P2] * K, axis=1)  # [CB,K*s,B']
                 outs.append(Z.reshape(CB, K, s, B).sum(axis=2))
+
+        groups = list(range(0, s, qp_merge))
+        outs = []
+        if pipeline:
+            # software pipeline across qp groups: issue group i+1's B1
+            # build + gather dot BEFORE group i's VPU tail, so the
+            # (asynchronous) MXU dot can overlap the tail's vector work
+            # instead of serializing dot -> tail -> dot -> tail
+            G_cur = do_dot(make_B1(groups[0]))
+            for idx, qp0 in enumerate(groups):
+                G_next = (do_dot(make_B1(groups[idx + 1]))
+                          if idx + 1 < len(groups) else None)
+                tails(G_cur, qp0, outs)
+                G_cur = G_next
+        else:
+            for qp0 in groups:
+                tails(do_dot(make_B1(qp0)), qp0, outs)
         Vr = jnp.stack(outs, axis=2).reshape(CB, K * s, B)    # rows (k, q)
         if ess_threshold is not None:
             Vr = jnp.where(do_res, Vr, V)
@@ -328,7 +349,7 @@ def _fused_window_kernel(model: FusedModel, W: int, s: int, B: int,
 
 @functools.partial(jax.jit, static_argnames=(
     "model", "lambduh", "chain_block", "interpret", "ess_threshold",
-    "kernel_rng", "qp_merge", "hi_only", "valid_gate"))
+    "kernel_rng", "qp_merge", "hi_only", "valid_gate", "pipeline"))
 def fused_window_batched(model: FusedModel,
                          pvec: jax.Array,      # [C, P]
                          x0: jax.Array,        # [C, D*s, B]
@@ -345,7 +366,8 @@ def fused_window_batched(model: FusedModel,
                          qp_merge: int = 1,
                          hi_only: bool = False,
                          vs: jax.Array | None = None,   # [C, W] validity
-                         valid_gate: bool = False):
+                         valid_gate: bool = False,
+                         pipeline: bool = False):
     """Run the fused window for a batch of chains.
 
     Returns (mean_statistic [C, H], loglikelihood [C]).
@@ -381,7 +403,7 @@ def fused_window_batched(model: FusedModel,
     out = pl.pallas_call(
         functools.partial(_fused_window_kernel, model, W, s, B, lambduh,
                           ess_threshold, kernel_rng, qp_merge, hi_only,
-                          valid_gate),
+                          valid_gate, pipeline),
         grid=(C // CB,),
         in_specs=[
             pl.BlockSpec((CB, pvec.shape[-1], B), lambda i: (i, 0, 0),
@@ -434,7 +456,8 @@ def _bc(x, batched, n):
 def _fused_callable(model: FusedModel, lambduh: float, interpret: bool,
                     ess_threshold: float | None = None,
                     kernel_rng: bool = False, qp_merge: int = 1,
-                    hi_only: bool = False, valid_gate: bool = False):
+                    hi_only: bool = False, valid_gate: bool = False,
+                    pipeline: bool = False):
     """Single-chain fused call whose vmap collapses into real chain
     batches (nested vmaps flatten)."""
 
@@ -450,7 +473,8 @@ def _fused_callable(model: FusedModel, lambduh: float, interpret: bool,
                                     ess_threshold=ess_threshold,
                                     kernel_rng=kernel_rng,
                                     qp_merge=qp_merge, hi_only=hi_only,
-                                    vs=vs, valid_gate=valid_gate)
+                                    vs=vs, valid_gate=valid_gate,
+                                    pipeline=pipeline)
 
     @flat.def_vmap
     def flat_vmap(axis_size, in_batched, *args):
@@ -467,7 +491,7 @@ def _fused_callable(model: FusedModel, lambduh: float, interpret: bool,
             weights[None], xi[None], lambduh=lambduh, chain_block=1,
             interpret=interpret, ess_threshold=ess_threshold,
             kernel_rng=kernel_rng, qp_merge=qp_merge, hi_only=hi_only,
-            vs=vs[None], valid_gate=valid_gate)
+            vs=vs[None], valid_gate=valid_gate, pipeline=pipeline)
         return ms[0], ll[0]
 
     @single.def_vmap
@@ -483,7 +507,8 @@ def fused_pf_score(model: FusedModel, key, params, window, step_weights,
                    lambduh: float = 1.0, interpret: bool = False,
                    ess_threshold: float | None = None,
                    rng: str = "host", qp_merge: int = 1,
-                   gather: str = "exact", step_valid=None):
+                   gather: str = "exact", step_valid=None,
+                   pipeline: bool = False):
     """Single-chain fused buffered-PF score: (mean_stat [H], loglik).
 
     Draws x0, per-step proposal normals, and systematic offsets from
@@ -534,6 +559,7 @@ def fused_pf_score(model: FusedModel, key, params, window, step_weights,
     fn = _fused_callable(model, float(lambduh), bool(interpret),
                          None if ess_threshold is None
                          else float(ess_threshold), kernel_rng,
-                         int(qp_merge), gather == "bf16", valid_gate)
+                         int(qp_merge), gather == "bf16", valid_gate,
+                         bool(pipeline))
     return fn(pvec, x0, normals, ys, step_weights.astype(jnp.float32), xi,
               vs)

@@ -56,6 +56,16 @@ def make_distributed_sgld_step(
     use_fused = n_particle_shards == 1 and fused_ok
     use_island = (island_fused and n_particle_shards > 1 and fused_ok
                   and n_local % 8 == 0)
+    if use_island and n_local < 256:
+        import warnings
+        warnings.warn(
+            f"island_fused with island size {n_local} (< 256): the island "
+            f"estimator's smoother bias is the Poyiadjis bias at "
+            f"N = island size, which grows as islands shrink (measured "
+            f"curve: scripts/island_bias_sweep.json; ~1/N decay).  Use "
+            f">= 256 particles per device, or disable island_fused for "
+            f"the unbiased-at-full-N global-resampling estimator.",
+            stacklevel=2)
     fused_interpret = (use_fused or use_island) and \
         jax.default_backend() != "tpu"
     S = config.subsequence_length

@@ -266,3 +266,73 @@ def test_island_fused_distributed_step(mesh):
     for leaf in jax.tree_util.tree_leaves(new):
         assert np.all(np.isfinite(np.asarray(leaf)))
     assert np.all(np.isfinite(np.asarray(ll)))
+
+
+def test_island_fused_expectation_matches_single_island_filter(mesh):
+    """Statistical contract of island_fused (`parallel/training.py`): the
+    psum-average of P independent per-island fused filters has the SAME
+    expectation as one island-size filter — so the island-mode smoother
+    bias is exactly the Poyiadjis bias at N = island size (Vergé et al.
+    2015; measured curve in scripts/island_bias_sweep.json).  Verified on
+    the LGSSM against both the single-island fused estimator and the
+    exact Kalman gradient oracle."""
+    from sgmcmc_tpu.ops.pallas.fused_pf import fused_pf_score
+
+    W, n_loc = 12, 16
+    params64 = lgssm.from_matrices(A=[[0.8]], C=[[1.0]], Q=[[0.5]],
+                                   R=[[0.7]])
+    ys64, _ = lgssm.generate_data(jax.random.PRNGKey(21), params64, W)
+    exact = lgssm.gradient_marginal_loglikelihood(params64, ys64)
+    exact_vec = np.concatenate([
+        np.asarray(exact.LRinv_vec), np.asarray(exact.LQinv_vec),
+        np.asarray(exact.C).ravel(), np.asarray(exact.A).ravel()])
+
+    fm = lgssm.get_fused(None)
+    params = jax.tree_util.tree_map(
+        lambda x: jnp.asarray(x, jnp.float32), params64)
+    ys = jnp.asarray(ys64, jnp.float32).reshape(W, 1)
+    step_w = jnp.ones((W,), jnp.float32)
+
+    def island_local(key):
+        # the exact structure of training.py's island branch: fold the
+        # particle-axis index into the key, run the per-shard fused
+        # filter, psum-average
+        k = jax.random.fold_in(key, jax.lax.axis_index("particle"))
+        stat, ll = fused_pf_score(fm, k, params, ys, step_w, n_loc,
+                                  jnp.zeros((), jnp.float32),
+                                  jnp.asarray(10.0, jnp.float32),
+                                  lambduh=1.0, interpret=True)
+        Pn = 2.0
+        return (jax.lax.psum(stat, "particle") / Pn,
+                jax.lax.psum(ll, "particle") / Pn)
+
+    island = jax.jit(shard_map(island_local, mesh=mesh, in_specs=P(),
+                               out_specs=(P(), P()), check_vma=False))
+
+    def single(key):
+        return fused_pf_score(fm, key, params, ys, step_w, n_loc,
+                              jnp.zeros((), jnp.float32),
+                              jnp.asarray(10.0, jnp.float32),
+                              lambduh=1.0, interpret=True)
+
+    single = jax.jit(single)
+
+    reps = 24
+    isl, sgl = [], []
+    for i in range(reps):
+        s_i, _ = island(jax.random.PRNGKey(500 + i))
+        s_s, _ = single(jax.random.PRNGKey(900 + i))
+        isl.append(np.asarray(s_i, np.float64))
+        sgl.append(np.asarray(s_s, np.float64))
+    isl, sgl = np.stack(isl), np.stack(sgl)
+    # same expectation: island average vs single island-size filter
+    se = np.sqrt(isl.var(axis=0) / reps + sgl.var(axis=0) / reps)
+    diff = np.abs(isl.mean(axis=0) - sgl.mean(axis=0))
+    assert np.all(diff < 5 * se + 0.05), (isl.mean(0), sgl.mean(0), se)
+    # and both see the Kalman oracle through the N=16 Poyiadjis bias:
+    # loose sanity bound (the TPU-measured curve at N=64 is already
+    # max|bias| < 0.1; N=16 here only needs the right order of magnitude)
+    bias = np.abs(isl.mean(axis=0) - exact_vec)
+    se_i = np.sqrt(isl.var(axis=0) / reps)
+    assert np.all(bias < 5 * se_i + 0.30 * np.abs(exact_vec) + 0.30), (
+        isl.mean(0), exact_vec)
