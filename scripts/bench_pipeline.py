@@ -53,7 +53,8 @@ def bench(pipeline: bool, n_chains: int, iters: int = 20):
             ks = jax.vmap(lambda k: jax.random.fold_in(k, i))(keys)
             p, ll = jax.vmap(chain_step, in_axes=(0, 0, None))(ks, p, obs)
             return p, ll
-        return jax.lax.scan(body, params, jnp.arange(iters, jnp.int32))
+        return jax.lax.scan(body, params,
+                            jnp.arange(iters, dtype=jnp.int32))
 
     fit = jax.jit(multi, donate_argnums=(1,))
     keys = jax.random.split(jax.random.fold_in(key, 2), n_chains)

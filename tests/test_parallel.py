@@ -336,3 +336,30 @@ def test_island_fused_expectation_matches_single_island_filter(mesh):
     se_i = np.sqrt(isl.var(axis=0) / reps)
     assert np.all(bias < 5 * se_i + 0.30 * np.abs(exact_vec) + 0.30), (
         isl.mean(0), exact_vec)
+
+
+def test_island_bias_curve_artifact():
+    """Regression-lock on the measured island-bias curve
+    (`scripts/island_bias_sweep.json`, TPU-measured): bias decays with
+    island size, and the recommended minimum island size (256, the
+    `make_distributed_sgld_step` warning threshold) keeps the island bias
+    at or below the Nemeth lambda=0.95 bias the reference ships as a
+    default smoother trade."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..", "scripts",
+                        "island_bias_sweep.json")
+    with open(path) as f:
+        data = json.load(f)
+    rows = {(r["label"], r["N"]): r for r in data["rows"]}
+    island = sorted((n, r["max_abs_bias"]) for (lbl, n), r in rows.items()
+                    if lbl.startswith("island"))
+    assert len(island) >= 4
+    # monotone decay across the sweep (allow small non-monotone jitter)
+    sizes, biases = zip(*island)
+    assert biases[-1] < 0.25 * biases[0], island
+    assert all(b2 < b1 * 1.25 for b1, b2 in zip(biases, biases[1:])), island
+    nemeth = rows[("nemeth lambda=0.95 (gather)", 1024)]["max_abs_bias"]
+    bias_256 = dict(island)[256]
+    assert bias_256 <= nemeth * 1.1, (bias_256, nemeth)
