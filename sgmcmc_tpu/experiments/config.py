@@ -83,4 +83,8 @@ def sampler_kwargs(options: dict) -> dict:
         kw["Ntilde"] = options["Ntilde"]
     if options.get("bw_chunk") is not None:
         kw["bw_chunk"] = options["bw_chunk"]
+    for k in ("latent_draws", "latent_burnin", "latent_thinning"):
+        # SLDS complete-data latent-Gibbs controls (`slds/sampler.py`)
+        if options.get(k) is not None:
+            kw[k] = options[k]
     return kw

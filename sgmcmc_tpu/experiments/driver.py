@@ -59,6 +59,9 @@ KSD_VARIABLES = {
     # matrices, per-state emission scale tau = 1/LRinv
     "gauss_hmm": ["logit_pi", "mu", "tau"],
     "arphmm": ["logit_pi", "D", "tau"],
+    # SLDS (beyond-reference: the reference's slds/sampler.py is broken):
+    # per-state dynamics A / latent scale sigma, shared emission tau
+    "slds": ["logit_pi", "A", "sigma", "tau"],
 }
 
 HMM_MODELS = ("gauss_hmm", "arphmm")
@@ -119,6 +122,21 @@ def convert_gradient(model_name: str, params, grad):
             A=np.ravel(np.asarray(grad.A)),
             Q=-0.5 * np.ravel(np.asarray(grad.LQinv_vec)) * LQ ** 3,
             R=-0.5 * np.ravel(np.asarray(grad.LRinv_vec)) * LR ** 3)
+    elif model_name == "slds":
+        # scalar-block SLDS (n = m = 1): logit_pi / A pass through;
+        # per-state sigma_k = 1/LQinv_k and tau = 1/LRinv via the exact
+        # chain rule, as in the SVM converter
+        LQ = np.ravel(np.asarray(params.LQinv_vec))        # [K]
+        LR = np.ravel(np.asarray(params.LRinv_vec))        # [1]
+        vals = dict(
+            logit_pi=np.ravel(np.asarray(params.logit_pi)),
+            A=np.ravel(np.asarray(params.A)),
+            sigma=1.0 / np.abs(LQ), tau=1.0 / np.abs(LR))
+        grads = dict(
+            logit_pi=np.ravel(np.asarray(grad.logit_pi)),
+            A=np.ravel(np.asarray(grad.A)),
+            sigma=-np.ravel(np.asarray(grad.LQinv_vec)) * LQ ** 2,
+            tau=-np.ravel(np.asarray(grad.LRinv_vec)) * LR ** 2)
     elif model_name in HMM_MODELS:
         # m=1 HMM family (the driver's synthetic setup): logit_pi rows and
         # the mean/AR block pass through in storage coordinates; the
@@ -154,6 +172,9 @@ TRUE_PARAMS = {
     "arphmm": dict(pi=[[0.9, 0.1], [0.1, 0.9]],
                    D=[[[0.7]], [[-0.7]]],
                    R=[[[0.5]], [[0.5]]]),
+    "slds": dict(pi=[[0.95, 0.05], [0.05, 0.95]],
+                 A=[[[0.9]], [[-0.9]]],
+                 Q=[[[0.5]], [[0.5]]], C=[[1.0]], R=[[0.5]]),
 }
 
 
@@ -190,6 +211,12 @@ def _make_true_params(model_name: str, dtype=None):
         p = TRUE_PARAMS["arphmm"]
         return arphmm.from_values(np.array(p["pi"]), np.array(p["D"]),
                                   np.array(p["R"]), dtype=dtype)
+    if model_name == "slds":
+        from ..models import slds
+        p = TRUE_PARAMS["slds"]
+        return slds.from_values(np.array(p["pi"]), np.array(p["A"]),
+                                np.array(p["Q"]), np.array(p["C"]),
+                                np.array(p["R"]), dtype=dtype)
     raise ValueError(model_name)
 
 
@@ -212,16 +239,22 @@ def do_setup(args, sampler_grid=None):
     true_params = _make_true_params(model_name)
     model = get_model(model_name)
     key = jax.random.PRNGKey(args.seed)
-    ys_train, xs_train = model.generate_data(jax.random.fold_in(key, 0),
-                                             true_params, args.T)
-    ys_test, xs_test = model.generate_data(jax.random.fold_in(key, 1),
-                                           true_params, args.T_test)
-    ckpt.save_pickle(os.path.join(p["in"], "data.p"), dict(
-        observations=np.asarray(ys_train), latent_vars=np.asarray(xs_train),
-        test_observations=np.asarray(ys_test),
-        test_latent_vars=np.asarray(xs_test),
+    # SLDS generate_data returns (y, x, z); the others (y, x)
+    out_train = model.generate_data(jax.random.fold_in(key, 0),
+                                    true_params, args.T)
+    out_test = model.generate_data(jax.random.fold_in(key, 1),
+                                   true_params, args.T_test)
+    data = dict(
+        observations=np.asarray(out_train[0]),
+        latent_vars=np.asarray(out_train[1]),
+        test_observations=np.asarray(out_test[0]),
+        test_latent_vars=np.asarray(out_test[1]),
         parameters=ckpt.tree_to_numpy(true_params),
-    ))
+    )
+    if len(out_train) > 2:
+        data["latent_z"] = np.asarray(out_train[2])
+        data["test_latent_z"] = np.asarray(out_test[2])
+    ckpt.save_pickle(os.path.join(p["in"], "data.p"), data)
 
     # inits: prior draw and truth (`setup_init`, `svm/driver.py:1299`)
     prior = model.default_prior()
@@ -255,6 +288,20 @@ def do_setup(args, sampler_grid=None):
 def default_sampler_grid(model_name):
     """Default experiment grid mirroring `demo_setup.py` variants
     (`svm/demo_setup.py:76-113`, `lgssm/demo_setup.py:76-134`)."""
+    if model_name == "slds":
+        # Gibbs reference + buffered complete-data SGLD (the SLDS's only
+        # gradient family — reference contract, `slds/sampler.py:491-660`)
+        grids = [
+            dict(iter_type=["Gibbs"], name=["GIBBS"]),
+            dict(iter_type=["SGLD"], epsilon=[0.05],
+                 subsequence_length=[16], buffer_length=[4],
+                 steps_per_iteration=[5], latent_draws=[1],
+                 latent_burnin=[5], name=["SGLD_COMPLETE"]),
+        ]
+        out = []
+        for g in grids:
+            out.extend(cfg.parameter_grid(g))
+        return out
     if model_name in HMM_MODELS:
         # Gibbs reference + buffered SGLD + SCIR simplex variant, mirroring
         # the Gibbs-anchored pattern of `lgssm/demo_setup.py:88-97` (the
@@ -306,8 +353,8 @@ def _build_sampler(options, data, init_params,
     from ..inference import samplers as S
     cls = {"svm": S.SVMSampler, "svjm": S.SVJMSampler,
            "garch": S.GARCHSampler, "lgssm": S.LGSSMSampler,
-           "gauss_hmm": S.GaussHMMSampler, "arphmm": S.ARPHMMSampler}[
-        options["model"]]
+           "gauss_hmm": S.GaussHMMSampler, "arphmm": S.ARPHMMSampler,
+           "slds": S.SLDSSampler}[options["model"]]
     return cls(observations=jnp.asarray(data[obs_key]),
                seed=options.get("seed", 0), parameters=init_params)
 
@@ -627,7 +674,7 @@ def build_parser():
     parser.add_argument("--path", default="./experiment")
     parser.add_argument("--model", default="svm",
                         choices=["svm", "svjm", "lgssm", "garch",
-                                 "gauss_hmm", "arphmm"])
+                                 "gauss_hmm", "arphmm", "slds"])
     parser.add_argument("--experiment_id", type=int, default=-1)
     parser.add_argument("--setup", action="store_true")
     parser.add_argument("--make_scripts", action="store_true")

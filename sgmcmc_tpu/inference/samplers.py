@@ -1102,7 +1102,11 @@ class SLDSSampler:
     def __init__(self, observations, num_states=2, n=1, m=1, prior=None,
                  parameters=None, seed: int = 0):
         from ..models import slds as slds_mod
+        from ..models.registry import get_model
         self._mod = slds_mod
+        # registry adapter view (generic driver/evaluator code reads
+        # sampler.model.has_pf etc.)
+        self.model = get_model("slds", num_states=num_states, n=n, m=m)
         self.observations = jnp.asarray(observations)
         self.prior = prior if prior is not None else slds_mod.default_prior(
             num_states, n, m, dtype=self.observations.dtype)
@@ -1246,6 +1250,16 @@ class SLDSSampler:
         _, ll = self._grad_fn(**kwargs)(
             self.next_key(), self.parameters, self.observations)
         return float(ll)
+
+    def noisy_logjoint(self, return_loglike: bool = False, **kwargs):
+        """Noisy complete-data logjoint = noisy loglikelihood + logprior
+        (the `noisy_logjoint` evaluator contract,
+        `sgmcmc_sampler.py:246-290`)."""
+        ll = self.noisy_loglikelihood(**kwargs)
+        lj = ll + float(self._mod.logprior(self.prior, self.parameters))
+        if return_loglike:
+            return dict(logjoint=lj, loglikelihood=ll)
+        return lj
 
     def sample_sgld(self, epsilon, **kwargs):
         grad_fn = self._grad_fn(**kwargs)

@@ -252,6 +252,31 @@ def _arphmm_api(num_states: int = 2, m: int = 1, p: int = 1) -> ModelAPI:
     )
 
 
+def _slds_api(num_states: int = 2, n: int = 1, m: int = 1) -> ModelAPI:
+    """SLDS adapter (blocked-Gibbs / complete-data family; the SLDS has no
+    marginal-likelihood gradients — reference contract,
+    `slds/sampler.py:249`).  `generate_data` returns (y, x, z)."""
+    from . import slds as slds_mod
+    return ModelAPI(
+        name=f"slds_{num_states}_{n}_{m}",
+        get_kernel=_hmm_dummy_kernel,
+        grad_statistic=None, suff_statistic=None,
+        grad_statistic_dim=0, suff_statistic_dim=0,
+        unpack_grad=None,
+        default_prior=lambda **kw: slds_mod.default_prior(
+            num_states, n, m, **kw),
+        logprior=slds_mod.logprior,
+        grad_logprior=slds_mod.grad_logprior,
+        sample_prior=slds_mod.sample_prior,
+        project_parameters=slds_mod.project_parameters,
+        generate_data=slds_mod.generate_data,
+        prior_mean_var=lambda p: (0.0, 1.0),
+        windowed_complete_gradient=slds_mod.windowed_complete_gradient,
+        gibbs_step=slds_mod.gibbs_step,
+        has_pf=False,
+    )
+
+
 def get_model(name: str, **kwargs) -> ModelAPI:
     if name == "svm":
         return SVM
@@ -267,4 +292,6 @@ def get_model(name: str, **kwargs) -> ModelAPI:
         return _gauss_hmm_api(**kwargs)
     if name == "arphmm":
         return _arphmm_api(**kwargs)
+    if name == "slds":
+        return _slds_api(**kwargs)
     raise ValueError(f"Unknown model '{name}'")

@@ -79,6 +79,18 @@ class SLDSParams:
     def R(self):
         return pos_def_mat_inv(self.Rinv)
 
+    @property
+    def sigma(self):
+        # per-state latent scale 1/diag(LQinv) (natural trace-eval coord,
+        # mirroring the SVM sigma alias `svm/parameters.py:42-61`)
+        return 1.0 / jnp.abs(
+            jnp.diagonal(self.LQinv, axis1=-2, axis2=-1))
+
+    @property
+    def tau(self):
+        # emission scale 1/diag(LRinv)
+        return 1.0 / jnp.abs(jnp.diagonal(self.LRinv))
+
 
 def from_values(pi, A, Q, C, R, dtype=jnp.float64) -> SLDSParams:
     """Host-NumPy leaves (constructors must not dispatch device ops)."""

@@ -137,6 +137,48 @@ def test_hmm_models_full_pipeline(tmp_path):
         assert agg is not None and len(agg) > 0
 
 
+def test_slds_full_pipeline(tmp_path):
+    """`--model slds` through the L6 driver: setup -> fit (Gibbs +
+    complete-data SGLD) -> eval -> trace_eval(ksd) -> process_out
+    (beyond-reference: the reference's slds/sampler.py is broken)."""
+    exp_dir = str(tmp_path / "slds")
+    args = make_args(exp_dir, max_time=2.0, eval_N=32, ksd_N=32,
+                     num_to_eval=3, max_ksd_samples=4)
+    args.model = "slds"
+    args.T = 48
+    args.T_test = 48
+    args.init_methods = ["prior"]
+    grid = cfg.parameter_grid([
+        dict(iter_type=["Gibbs"], name=["GIBBS"], max_time=[2],
+             checkpoint_num_iters=[5]),
+        dict(iter_type=["SGLD"], epsilon=[0.02], subsequence_length=[16],
+             buffer_length=[4], steps_per_iteration=[2], latent_draws=[1],
+             latent_burnin=[2], name=["SGLD_COMPLETE"], max_time=[2],
+             checkpoint_num_iters=[5]),
+    ])
+    options_list = driver.do_setup(args, sampler_grid=grid)
+    assert len(options_list) == 2
+    from sgmcmc_tpu.io import checkpoint as ckpt
+    data = ckpt.load_pickle(os.path.join(exp_dir, "in", "data.p"))
+    assert "latent_z" in data                  # (y, x, z) setup
+    for o in options_list:
+        driver.do_fit(args, o)
+    driver.do_eval(args, options_list[1], "half_avg_train")
+    df = pd.read_csv(os.path.join(
+        exp_dir, "out", "eval",
+        f"{options_list[1]['experiment_id']}_half_avg_train_metrics.csv"))
+    assert np.all(np.isfinite(df["value"]))
+    driver.do_eval_ksd(args, options_list[1])
+    ksd = pd.read_csv(os.path.join(
+        exp_dir, "out", "trace_eval",
+        f"{options_list[1]['experiment_id']}_ksd.csv"))
+    assert set(ksd["variable"]) == set(driver.KSD_VARIABLES["slds"])
+    assert np.all(np.isfinite(ksd["value"]))
+    driver.do_eval_ks_test(args, options_list[1], options_list)
+    agg = driver.do_process_out(args, options_list)
+    assert agg is not None and len(agg) > 0
+
+
 def test_convert_gradient_exact_chain_rule():
     """Natural-coordinate scores from `convert_gradient` must equal
     autodiff of the same scalar function expressed in natural coordinates
