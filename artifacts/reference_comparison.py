@@ -330,6 +330,13 @@ def main():
             lines += sec
             zs[f"eurus_{model}"] = z
 
+    if not zs:
+        raise SystemExit(f"no legs ran — unknown --legs {args.legs!r}? "
+                         f"(choose from: svm, garch, eurus)")
+    if any(np.isnan(v) for v in zs.values()):
+        raise SystemExit(
+            f"nan z-scores {zs} — a reference leg completed too few steps "
+            f"within its budget; raise --ref_seconds")
     worst = max(zs.values())
     lines += [f"**Overall: max |Δmean|/pooled-sd across all legs = "
               f"{worst:.2f}** ({'PASS' if worst < 1 else 'FAIL'} at the "

@@ -225,9 +225,9 @@ class OfflineEvaluator(BaseEvaluator):
         else:
             raise TypeError("Invalid iter_func_name")
         for name, _ in iter_calls:
-            if getattr(self.sampler, name, None) is None:
+            if not callable(getattr(self.sampler, name, None)):
                 raise ValueError(
-                    f"iter_func_name '{name}' is not in sampler")
+                    f"iter_func_name '{name}' is not a sampler method")
 
         count = 0
         it = range(num_to_eval) if num_to_eval else iter(int, 1)

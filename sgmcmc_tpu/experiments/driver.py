@@ -128,10 +128,12 @@ def convert_gradient(model_name: str, params, grad):
         # chain rule, as in the SVM converter
         LQ = np.ravel(np.asarray(params.LQinv_vec))        # [K]
         LR = np.ravel(np.asarray(params.LRinv_vec))        # [1]
+        # no abs: the chain rule -g*L^2 below assumes tau = 1/L (the SVM
+        # branch convention); projection keeps L positive on driver traces
         vals = dict(
             logit_pi=np.ravel(np.asarray(params.logit_pi)),
             A=np.ravel(np.asarray(params.A)),
-            sigma=1.0 / np.abs(LQ), tau=1.0 / np.abs(LR))
+            sigma=1.0 / LQ, tau=1.0 / LR)
         grads = dict(
             logit_pi=np.ravel(np.asarray(grad.logit_pi)),
             A=np.ravel(np.asarray(grad.A)),
@@ -145,10 +147,11 @@ def convert_gradient(model_name: str, params, grad):
         LR = np.ravel(np.asarray(params.LRinv_vec))
         loc_name = "mu" if model_name == "gauss_hmm" else "D"
         loc = getattr(params, loc_name)
+        # no abs (the -g*L^2 chain rule below assumes tau = 1/L)
         vals = {
             "logit_pi": np.ravel(np.asarray(params.logit_pi)),
             loc_name: np.ravel(np.asarray(loc)),
-            "tau": 1.0 / np.abs(LR),
+            "tau": 1.0 / LR,
         }
         grads = {
             "logit_pi": np.ravel(np.asarray(grad.logit_pi)),
@@ -350,13 +353,11 @@ def _build_sampler(options, data, init_params,
                    obs_key: str = "observations") -> Sampler:
     """Model-specific sampler (Gibbs/SCIR mixins where they exist) so every
     iter_type in the model's grid is callable (`svm/driver.py:342-358`)."""
-    from ..inference import samplers as S
-    cls = {"svm": S.SVMSampler, "svjm": S.SVJMSampler,
-           "garch": S.GARCHSampler, "lgssm": S.LGSSMSampler,
-           "gauss_hmm": S.GaussHMMSampler, "arphmm": S.ARPHMMSampler,
-           "slds": S.SLDSSampler}[options["model"]]
-    return cls(observations=jnp.asarray(data[obs_key]),
-               seed=options.get("seed", 0), parameters=init_params)
+    from ..inference.samplers import sampler_for_model
+    return sampler_for_model(options["model"],
+                             observations=jnp.asarray(data[obs_key]),
+                             seed=options.get("seed", 0),
+                             parameters=init_params)
 
 
 def _metric_fns(options, data, sampler):

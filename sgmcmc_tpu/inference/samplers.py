@@ -1223,7 +1223,21 @@ class SLDSSampler:
 
         return score
 
+    # generic driver/evaluator kwargs tolerated (and ignored — the SLDS
+    # has only the complete-data gradient family); anything else is a
+    # typo'd latent option and must raise rather than silently run with
+    # defaults
+    _IGNORED_KWARGS = frozenset((
+        "kind", "pf", "N", "kernel", "resampler", "resample_mode",
+        "minibatch_size", "partition_style", "lambduh", "Ntilde",
+        "bw_chunk", "ess_threshold"))
+
     def _grad_fn(self, is_scaled: bool = True, **kwargs):
+        known = {"subsequence_length", "buffer_length", "latent_draws",
+                 "latent_burnin", "latent_thinning"} | self._IGNORED_KWARGS
+        unknown = set(kwargs) - known
+        if unknown:
+            raise TypeError(f"SLDSSampler got unknown options {unknown}")
         S = kwargs.get("subsequence_length", -1)
         B = max(kwargs.get("buffer_length", 0), 0)
         latent_draws = kwargs.get("latent_draws", 1)
@@ -1345,3 +1359,17 @@ class ARPHMMSampler(GibbsSamplerMixin, SCIRSamplerMixin, Sampler):
         from ..models.registry import get_model
         super().__init__(get_model("arphmm", num_states=num_states, m=m,
                                    p=p), observations, **kw)
+
+
+def sampler_for_model(model_name: str, **kwargs):
+    """Model-name -> concrete sampler instance (the single dispatch point
+    generic code uses, keeping the Gibbs/SCIR mixin wiring next to the
+    sampler classes rather than duplicated in callers)."""
+    classes = {"svm": SVMSampler, "svjm": SVJMSampler,
+               "garch": GARCHSampler, "lgssm": LGSSMSampler,
+               "gauss_hmm": GaussHMMSampler, "arphmm": ARPHMMSampler,
+               "slds": SLDSSampler}
+    if model_name not in classes:
+        raise ValueError(f"Unknown model '{model_name}' "
+                         f"(choose from {sorted(classes)})")
+    return classes[model_name](**kwargs)

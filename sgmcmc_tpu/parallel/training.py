@@ -98,17 +98,20 @@ def make_distributed_sgld_step(
                 from ..ops.pallas.fused_pf import fused_pf_score
                 lam = 1.0 if config.smoother == "poyiadjis_N" \
                     else config.lambduh
+                fused_kw = dict(
+                    lambduh=lam, interpret=fused_interpret,
+                    ess_threshold=config.ess_threshold, rng=config.rng,
+                    qp_merge=config.qp_merge, pipeline=config.pipeline)
                 if use_fused:
                     return fused_pf_score(
                         fused_model, kp, params, window, step_w,
-                        config.n_particles, pm, pv, lambduh=lam,
-                        interpret=fused_interpret)
+                        config.n_particles, pm, pv, **fused_kw)
                 # island mode: independent per-shard filter, psum-averaged
                 kp = jax.random.fold_in(kp,
                                         jax.lax.axis_index("particle"))
                 stat, ll = fused_pf_score(
                     fused_model, kp, params, window, step_w, n_local,
-                    pm, pv, lambduh=lam, interpret=fused_interpret)
+                    pm, pv, **fused_kw)
                 P = float(n_particle_shards)
                 return (jax.lax.psum(stat, "particle") / P,
                         jax.lax.psum(ll, "particle") / P)
