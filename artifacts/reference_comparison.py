@@ -147,23 +147,29 @@ def run_ours_eurus(observations, model, steps, seed=1, N=1000):
     s.project_parameters()
     p0 = s.parameters
     t0 = time.time()
-    trace = s.fit_scan("SGLD", num_iters=steps, epsilon=0.001, N=N,
-                       subsequence_length=16, buffer_length=4,
-                       pf="poyiadjis_N", resampler="systematic",
-                       resample_mode="auto")
+    # chunked whole-loop-compiled executions: one multi-minute XLA
+    # execution kills the remote TPU worker (CLAUDE.md watchdog note)
+    params_list = s.fit_scan_chunked(
+        "SGLD", num_iters=steps, chunk_iters=50000, epsilon=0.001, N=N,
+        subsequence_length=16, buffer_length=4, pf="poyiadjis_N",
+        resampler="systematic", resample_mode="auto")
     elapsed = time.time() - t0
-    burn = steps // 2
+    burn = len(params_list) // 2
+    tail = params_list[burn:]
+
+    def col(name, idx=(0,)):
+        return np.array([float(np.asarray(getattr(q, name))[idx])
+                         for q in tail])
+
     if model == "svm":
-        lq = np.abs(np.asarray(trace.LQinv_vec)[burn:, 0])
-        lr = np.abs(np.asarray(trace.LRinv_vec)[burn:, 0])
-        out = dict(phi=np.asarray(trace.A)[burn:, 0, 0], sigma=1.0 / lq,
-                   tau=1.0 / lr)
+        out = dict(phi=col("A", (0, 0)),
+                   sigma=1.0 / np.abs(col("LQinv_vec")),
+                   tau=1.0 / np.abs(col("LRinv_vec")))
     else:
-        lr = np.abs(np.asarray(trace.LRinv_vec)[burn:, 0])
-        out = dict(log_mu=np.asarray(trace.log_mu)[burn:, 0],
-                   logit_phi=np.asarray(trace.logit_phi)[burn:, 0],
-                   logit_lambduh=np.asarray(trace.logit_lambduh)[burn:, 0],
-                   tau=1.0 / lr)
+        out = dict(log_mu=col("log_mu"),
+                   logit_phi=col("logit_phi"),
+                   logit_lambduh=col("logit_lambduh"),
+                   tau=1.0 / np.abs(col("LRinv_vec")))
     out.update(steps=steps, seconds=elapsed, init=p0)
     return out
 
@@ -261,6 +267,8 @@ def main():
                          "legs mix ~100x slower than the eps=0.1 "
                          "synthetic legs; the reference budget is 8h)")
     ap.add_argument("--eurus_ref_seconds", type=float, default=None)
+    ap.add_argument("--out", default="reference_comparison.md",
+                    help="output markdown filename (relative to artifacts/)")
     args = ap.parse_args()
 
     import jax
@@ -306,7 +314,9 @@ def main():
         lines += sec
         zs["garch"] = z
 
-    if "eurus" in args.legs:
+    eurus_models = [m for m in ["svm", "garch"]
+                    if "eurus" in args.legs or f"eurus_{m}" in args.legs]
+    if eurus_models:
         sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
                                         "demo", "exchange_rate"))
         from exchange_rate_demo import DEFAULT_DATA, load_segments
@@ -314,7 +324,7 @@ def main():
         obs = segments[args.eurus_segment]
         e_steps = args.eurus_ours_steps or 25 * args.ours_steps
         e_ref = args.eurus_ref_seconds or args.ref_seconds
-        for model in ["svm", "garch"]:
+        for model in eurus_models:
             ours = run_ours_eurus(obs, model, e_steps, N=args.eurus_N)
             ref = run_reference_eurus(np.asarray(obs, np.float64), model,
                                       e_ref, ours["init"],
@@ -332,7 +342,8 @@ def main():
 
     if not zs:
         raise SystemExit(f"no legs ran — unknown --legs {args.legs!r}? "
-                         f"(choose from: svm, garch, eurus)")
+                         f"(choose from: svm, garch, eurus, eurus_svm, "
+                         f"eurus_garch)")
     if any(np.isnan(v) for v in zs.values()):
         raise SystemExit(
             f"nan z-scores {zs} — a reference leg completed too few steps "
@@ -344,8 +355,7 @@ def main():
               + ", ".join(f"{k}={v:.2f}" for k, v in zs.items()) + "."]
     out = "\n".join(lines)
     print(out)
-    with open(os.path.join(os.path.dirname(__file__),
-                           "reference_comparison.md"), "w") as f:
+    with open(os.path.join(os.path.dirname(__file__), args.out), "w") as f:
         f.write(out + "\n")
 
 
