@@ -157,3 +157,55 @@ def test_slds_logprior_grad_matches_autodiff_shape():
         leaf = np.asarray(getattr(g, name))
         assert leaf.shape == np.asarray(getattr(params, name)).shape
         assert np.all(np.isfinite(leaf)), name
+
+
+def test_slds_complete_sgld_matches_gibbs_moments():
+    """Distributional anchor for the SLDS buffered complete-data SGLD
+    (the family's only gradient — `slds/sampler.py:491-660` documented
+    semantics): posterior moments of the per-state dynamics (A_k) and
+    latent scales (LQinv_k) from a long full-sequence SGLD chain match
+    the blocked-Gibbs trace.  The stiff LRinv and logit_pi coordinates
+    are excluded: unpreconditioned Langevin under-disperses them at any
+    step size that keeps A stable (measured shift 0.5-1.1 sd, ratio
+    0.34-0.38 at eps=5e-3) — the same stiffness the LGSSM KS protocol
+    handles with SGRLD preconditioning, which the SLDS family lacks by
+    reference contract."""
+    import jax
+    import numpy as np
+    from sgmcmc_tpu.inference.samplers import SLDSSampler
+
+    true = slds.from_values(
+        pi=np.array([[0.95, 0.05], [0.05, 0.95]]),
+        A=np.array([[[0.9]], [[-0.9]]]),
+        Q=np.array([[[0.3]], [[0.3]]]),
+        C=np.array([[1.0]]), R=np.array([[0.1]]))
+    ys, xs, zs = slds.generate_data(jax.random.PRNGKey(3), true, 200)
+
+    g = SLDSSampler(ys, num_states=2, seed=1, parameters=true)
+    gibbs = []
+    for i in range(1500):
+        g.sample_gibbs()
+        g.project_parameters()
+        if i >= 300:
+            gibbs.append(g.parameters)
+
+    s = SLDSSampler(ys, num_states=2, seed=2, parameters=true)
+    sg = []
+    for i in range(6000):
+        s.sample_sgld(epsilon=5e-3, subsequence_length=-1,
+                      latent_draws=1, latent_burnin=8, latent_thinning=0)
+        if i >= 2000:
+            sg.append(s.parameters)
+
+    def col(trace, name, idx):
+        return np.array([np.ravel(np.asarray(getattr(p, name)))[idx]
+                         for p in trace])
+
+    # measured at these seeds: shifts 0.09-0.29 sd, ratios 0.65-1.03
+    for name, idx in [("A", 0), ("A", 1),
+                      ("LQinv_vec", 0), ("LQinv_vec", 1)]:
+        ga, sa = col(gibbs, name, idx), col(sg, name, idx)
+        shift = abs(ga.mean() - sa.mean()) / ga.std()
+        ratio = sa.std() / ga.std()
+        assert shift < 0.5, (name, idx, shift)
+        assert 0.5 < ratio < 1.6, (name, idx, ratio)
