@@ -84,6 +84,8 @@ class Sampler:
             ess_threshold=kwargs.get("ess_threshold", None),
             rng=kwargs.get("rng", "host"),
             bw_chunk=kwargs.get("bw_chunk", None),
+            qp_merge=kwargs.get("qp_merge", 1),
+            pipeline=kwargs.get("pipeline", False),
         )
 
     def _default_kind(self) -> str:

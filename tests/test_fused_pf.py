@@ -187,3 +187,32 @@ def test_fused_score_fn_integration():
     assert np.isfinite(float(ll))
     for leaf in jax.tree_util.tree_leaves(grad):
         assert np.all(np.isfinite(np.asarray(leaf)))
+
+
+def test_sampler_api_reaches_fused_kernel_options():
+    """qp_merge / pipeline / rng flow from the high-level Sampler API into
+    the fused kernel (PFScoreConfig plumbing), and pipelining is a pure
+    reordering: bitwise-identical gradients at the same key."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from sgmcmc_tpu.inference.samplers import SVMSampler
+    from sgmcmc_tpu.models import svm
+
+    true = svm.from_scalars(A=0.9, Q=0.5, R=1.0, dtype=jnp.float64)
+    ys, _ = svm.generate_data(jax.random.PRNGKey(0), true, 64)
+    kw = dict(N=32, subsequence_length=8, buffer_length=2,
+              resampler="systematic", resample_mode="fused")
+
+    def grad_with(**opts):
+        s = SVMSampler(observations=ys, parameters=true, seed=9)
+        return s.noisy_gradient(**kw, **opts)
+
+    base = grad_with()
+    piped = grad_with(pipeline=True)
+    merged = grad_with(qp_merge=2, pipeline=True)
+    for a, b in zip(jax.tree_util.tree_leaves(base),
+                    jax.tree_util.tree_leaves(piped)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for leaf in jax.tree_util.tree_leaves(merged):
+        assert np.all(np.isfinite(np.asarray(leaf)))
