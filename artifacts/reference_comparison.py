@@ -134,6 +134,70 @@ def run_reference_garch(observations, seconds, seed=2, epsilon=0.1, S=40,
     return out
 
 
+def run_ours_eurus_multichain(observations, model, steps, n_chains,
+                              seed=1, N=1000):
+    """Pooled posterior from many independent prior-initialized SGLD
+    chains (vmapped over the chip) at the reference demo protocol.
+    Pooling across chains controls the Monte-Carlo error of the posterior
+    mean (across-chain se ~ sd/sqrt(n_chains)) where a single eps=1e-3
+    chain's integrated autocorrelation time is of order its length —
+    see artifacts/eurus_garch_validation.md."""
+    import jax
+    import jax.numpy as jnp
+    from sgmcmc_tpu.inference import sgmcmc
+    from sgmcmc_tpu.models import garch as garch_mod
+    from sgmcmc_tpu.models import svm as svm_mod
+
+    m = svm_mod if model == "svm" else garch_mod
+    obs = jnp.asarray(observations, jnp.float32)
+    T = obs.shape[0]
+    cfg = sgmcmc.PFScoreConfig(
+        n_particles=N, subsequence_length=16, buffer_length=4,
+        smoother="poyiadjis_N", resampler="systematic",
+        resample_mode="auto",
+        rng="kernel" if jax.default_backend() == "tpu" else "host")
+    score = sgmcmc.make_pf_score_fn(
+        m.get_kernel(None), m.grad_statistic, m.STATISTIC_DIM,
+        m.unpack_grad, cfg, T,
+        prior_mean_var_fn=lambda p: (0.0, m.stationary_variance(p)),
+        fused_model=m.get_fused(None))
+    prior = m.default_prior()
+    gf = sgmcmc.make_noisy_grad_fn(
+        score, lambda p: m.grad_logprior(prior, p), T)
+
+    def chain(key, p0):
+        step = lambda k, p, o: sgmcmc.sgld_step(k, p, o, gf, 0.001, T)
+        return sgmcmc.fit(key, p0, obs, step, steps,
+                          project_fn=m.project_parameters)
+
+    keys = jax.random.split(jax.random.PRNGKey(seed), n_chains)
+    p0s = jax.vmap(lambda k: m.project_parameters(
+        m.sample_prior(prior, k)))(
+        jax.random.split(jax.random.PRNGKey(seed + 1), n_chains))
+    p0s = jax.tree_util.tree_map(lambda x: x.astype(jnp.float32), p0s)
+    t0 = time.time()
+    _, trace, _ = jax.jit(jax.vmap(chain))(keys, p0s)
+    burn = steps // 2
+
+    def pooled(name, idx=(slice(None), slice(burn, None), 0)):
+        return np.asarray(getattr(trace, name))[idx].ravel()
+
+    if model == "svm":
+        out = dict(
+            phi=np.asarray(trace.A)[:, burn:, 0, 0].ravel(),
+            sigma=1.0 / np.abs(pooled("LQinv_vec")),
+            tau=1.0 / np.abs(pooled("LRinv_vec")))
+    else:
+        out = dict(log_mu=pooled("log_mu"),
+                   logit_phi=pooled("logit_phi"),
+                   logit_lambduh=pooled("logit_lambduh"),
+                   tau=1.0 / np.abs(pooled("LRinv_vec")))
+    init0 = jax.tree_util.tree_map(lambda x: np.asarray(x[0]), p0s)
+    out.update(steps=n_chains * steps, seconds=time.time() - t0,
+               init=init0)
+    return out
+
+
 def run_ours_eurus(observations, model, steps, seed=1, N=1000):
     """Segment leg at the reference demo protocol
     (`save_svm_params.py:60-91`): eps=1e-3, S=16, B=4, Poyiadjis O(N)."""
@@ -269,6 +333,11 @@ def main():
     ap.add_argument("--eurus_ref_seconds", type=float, default=None)
     ap.add_argument("--out", default="reference_comparison.md",
                     help="output markdown filename (relative to artifacts/)")
+    ap.add_argument("--ours_chains", type=int, default=1,
+                    help="eurus legs: pool this many independent vmapped "
+                         "SGLD chains on the ours side (posterior-mean MC "
+                         "error ~ sd/sqrt(chains); single reference-style "
+                         "chain when 1)")
     args = ap.parse_args()
 
     import jax
@@ -325,7 +394,12 @@ def main():
         e_steps = args.eurus_ours_steps or 25 * args.ours_steps
         e_ref = args.eurus_ref_seconds or args.ref_seconds
         for model in eurus_models:
-            ours = run_ours_eurus(obs, model, e_steps, N=args.eurus_N)
+            if args.ours_chains > 1:
+                ours = run_ours_eurus_multichain(
+                    obs, model, e_steps, args.ours_chains,
+                    N=args.eurus_N)
+            else:
+                ours = run_ours_eurus(obs, model, e_steps, N=args.eurus_N)
             ref = run_reference_eurus(np.asarray(obs, np.float64), model,
                                       e_ref, ours["init"],
                                       N=args.eurus_N)

@@ -402,7 +402,12 @@ def do_fit(args, options):
     checkpoint_every = options.get("checkpoint_num_iters", 1000)
 
     func_names, func_kwargs = _iter_funcs(iter_type, options, step_kwargs)
+    # time-based metric throttling (`do_fit`, `svm/driver.py:460-474`):
+    # eval_freq is SECONDS between metric/sample evaluations; parameters
+    # are still recorded every iteration
+    eval_freq = options.get("eval_freq", 5)
     t_start = time.perf_counter()
+    last_eval = -float("inf")
     it = start_iteration
     try:
         while (time.perf_counter() - t_start < max_time
@@ -410,10 +415,14 @@ def do_fit(args, options):
             for _ in range(steps):
                 evaluator.evaluate_sampler_step(func_names, func_kwargs,
                                                 evaluate=False)
-            evaluator.eval_metric_functions(sampler, evaluator.iteration,
-                                            time=evaluator.elapsed_time)
-            evaluator.eval_sample_functions(sampler, evaluator.iteration,
-                                            time=evaluator.elapsed_time)
+            if evaluator.elapsed_time - last_eval > eval_freq:
+                evaluator.eval_metric_functions(
+                    sampler, evaluator.iteration,
+                    time=evaluator.elapsed_time)
+                evaluator.eval_sample_functions(
+                    sampler, evaluator.iteration,
+                    time=evaluator.elapsed_time)
+                last_eval = evaluator.elapsed_time
             parameters_list.append(sampler.parameters)
             times.append(evaluator.elapsed_time)
             it += 1
