@@ -282,3 +282,36 @@ def test_tqdm_to_logger_routes_progress_lines():
     out.write("")
     out.flush()          # empty buffers are not logged
     assert stream.getvalue().strip() == "50%|#####     | 5/10"
+
+
+def test_fit_eval_freq_throttles_metrics(tmp_path):
+    """`eval_freq` is SECONDS between metric evaluations
+    (`svm/driver.py:460-474`): with a huge eval_freq only the first
+    in-loop evaluation fires, while parameters are still recorded every
+    iteration; eval_freq=0 evaluates every iteration."""
+    from sgmcmc_tpu.io import checkpoint as ckpt
+
+    for freq, expect_sparse in [(10 ** 6, True), (0, False)]:
+        exp_dir = str(tmp_path / f"freq_{freq}")
+        args = make_args(exp_dir, max_time=30.0)
+        grid = cfg.parameter_grid(dict(
+            iter_type=["SGLD"], epsilon=[0.1], subsequence_length=[16],
+            buffer_length=[4], steps_per_iteration=[1], pf=["poyiadjis_N"],
+            N=[16], name=["T"], max_time=[30], max_num_iters=[20],
+            eval_freq=[freq], checkpoint_num_iters=[10 ** 6]))
+        options_list = driver.do_setup(args, sampler_grid=grid)
+        o = options_list[0]
+        driver.do_fit(args, o)
+        trace = ckpt.load_trace(os.path.join(
+            exp_dir, "out", "fit", f"{o['experiment_id']}_parameters.p"))
+        n_iters = len(trace["parameters_list"]) - 1
+        df = pd.read_csv(os.path.join(
+            exp_dir, "out", "fit", f"{o['experiment_id']}_metrics.csv"))
+        # iteration 0 row comes from SamplerEvaluator init; in-loop rows
+        # are throttled by eval_freq
+        n_eval_iters = df["iteration"].nunique()
+        assert n_iters >= 3
+        if expect_sparse:
+            assert n_eval_iters <= 2, (n_eval_iters, n_iters)
+        else:
+            assert n_eval_iters >= n_iters, (n_eval_iters, n_iters)
