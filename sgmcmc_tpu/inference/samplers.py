@@ -164,6 +164,14 @@ class Sampler:
         return self._cache[cache_key]
 
     # -- likelihoods -------------------------------------------------------
+    @staticmethod
+    def _check_finite_ll(ll: float) -> float:
+        # reference sanity guard (`sgmcmc_sampler.py:242-243`)
+        import math
+        if math.isnan(ll):
+            raise ValueError("NaNs in loglikelihood")
+        return ll
+
     def noisy_loglikelihood(self, kind: str | None = None, **kwargs) -> float:
         if kind is None:
             kind = self._default_kind()
@@ -172,17 +180,17 @@ class Sampler:
                 return self.exact_loglikelihood()
             _, loglik = self._grad_fn(kind="marginal", **kwargs)(
                 self.next_key(), self.parameters, self.observations)
-            return float(loglik)
+            return self._check_finite_ll(float(loglik))
         if kind == "complete":
             # FFBS-draw complete-data loglikelihood over the window
             # (`noisy_loglikelihood` kind='complete',
             # `sgmcmc_sampler.py:175-210`)
             _, loglik = self._grad_fn(kind="complete", **kwargs)(
                 self.next_key(), self.parameters, self.observations)
-            return float(loglik)
+            return self._check_finite_ll(float(loglik))
         _, loglik = self._loglik_fn(**kwargs)(
             self.next_key(), self.parameters, self.observations)
-        return float(loglik)
+        return self._check_finite_ll(float(loglik))
 
     def noisy_logjoint(self, return_loglike=False, **kwargs):
         ll = self.noisy_loglikelihood(**kwargs)
@@ -213,6 +221,12 @@ class Sampler:
         grad, _ = self._grad_fn(preconditioned=bool(preconditioner),
                                 is_scaled=is_scaled, **kwargs)(
             self.next_key(), self.parameters, self.observations)
+        # reference sanity guard (`_noisy_grad_loglikelihood`,
+        # `sgmcmc_sampler.py:420-424`).  Diagnostic surface only — the
+        # jitted `_step` hot path stays transfer-free.
+        for leaf in jax.tree_util.tree_leaves(grad):
+            if bool(jnp.any(jnp.isnan(leaf))):
+                raise ValueError("NaNs in gradient")
         return grad
 
     def _step(self, name: str, epsilon: float, **kwargs):
