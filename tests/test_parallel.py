@@ -363,3 +363,24 @@ def test_island_bias_curve_artifact():
     nemeth = rows[("nemeth lambda=0.95 (gather)", 1024)]["max_abs_bias"]
     bias_256 = dict(island)[256]
     assert bias_256 <= nemeth * 1.1, (bias_256, nemeth)
+
+
+def test_island_fused_small_island_warns(mesh):
+    """make_distributed_sgld_step warns when island_fused would run with
+    < 256 particles per device (the measured bias-curve threshold)."""
+    import warnings
+
+    cfg = sgmcmc.PFScoreConfig(n_particles=32, subsequence_length=8,
+                               buffer_length=2, smoother="poyiadjis_N",
+                               resampler="systematic",
+                               resample_mode="fused")
+    prior = svm.default_prior()
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        training.make_distributed_sgld_step(
+            svm.KERNEL, svm.grad_statistic, svm.STATISTIC_DIM,
+            svm.unpack_grad, lambda p: svm.grad_logprior(prior, p), cfg,
+            32, mesh, epsilon=0.05, fused_model=svm.get_fused(None),
+            island_fused=True)
+    assert any("island size" in str(w.message) for w in rec), \
+        [str(w.message) for w in rec]
