@@ -467,3 +467,85 @@ def test_two_process_distributed_step_agrees():
     a, b = (float(v.group(1)) for v in vals)
     assert a == b, (a, b)
     assert np.isfinite(a)
+
+
+def test_two_process_cross_host_particle_sharding_agrees():
+    """Particle axis CROSSING the host boundary: 2 processes x 4 devices,
+    mesh (chain=4, particle=2) with each particle pair spanning both
+    processes — the PF's internal psum/all_gather (global resampling
+    comb, log-normalization) run as real cross-process collectives.
+    Both processes must compute the identical all-reduced loglik."""
+    import os
+    import re
+    import socket
+    import subprocess
+    import sys
+    import textwrap
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    child = textwrap.dedent("""
+        import os, sys
+        pid = int(sys.argv[1]); port = sys.argv[2]
+        os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        import jax.numpy as jnp
+        from sgmcmc_tpu.parallel.sharding import (initialize_multi_host,
+                                                  make_mesh,
+                                                  shard_chain_states)
+        from sgmcmc_tpu.parallel import training
+        from sgmcmc_tpu.inference import sgmcmc
+        from sgmcmc_tpu.models import svm
+
+        initialize_multi_host(coordinator_address=f"127.0.0.1:{port}",
+                              num_processes=2, process_id=pid)
+        devs = jax.devices()
+        grid = [[devs[i], devs[4 + i]] for i in range(4)]
+        mesh = make_mesh(n_chain_devices=4, n_particle_devices=2,
+                         devices=[d for row in grid for d in row])
+        T = 24
+        true = svm.from_scalars(A=0.9, Q=0.5, R=1.0)
+        ys, _ = svm.generate_data(jax.random.PRNGKey(0), true, T)
+        prior = svm.default_prior()
+        cfg = sgmcmc.PFScoreConfig(n_particles=32, subsequence_length=8,
+                                   buffer_length=2,
+                                   smoother="poyiadjis_N")
+        step = training.make_distributed_sgld_step(
+            svm.KERNEL, svm.grad_statistic, svm.STATISTIC_DIM,
+            svm.unpack_grad, lambda p: svm.grad_logprior(prior, p), cfg,
+            T, mesh, epsilon=0.05,
+            prior_mean_var_fn=lambda p: (0.0, svm.stationary_variance(p)),
+            project_fn=svm.project_parameters)
+        keys = jax.random.split(jax.random.PRNGKey(1), 4)
+        params0 = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x, (4,) + x.shape),
+            svm.from_scalars(A=0.5, Q=1.0, R=2.0))
+        keys = shard_chain_states(mesh, keys)
+        params0 = shard_chain_states(mesh, params0)
+
+        @jax.jit
+        def run(k, p, o):
+            new, ll = step(k, p, o)
+            return new, jnp.sum(ll)
+
+        new, tot = run(keys, params0, ys)
+        print(f"ptotal {float(tot):.9f}", flush=True)
+    """)
+    env = {**os.environ}
+    env.pop("XLA_FLAGS", None)
+    procs = [subprocess.Popen(
+        [sys.executable, "-c", child, str(i), str(port)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        env=env, cwd=os.path.join(os.path.dirname(__file__), ".."))
+        for i in range(2)]
+    outs = [p.communicate(timeout=280)[0] for p in procs]
+    for i, p in enumerate(procs):
+        assert p.returncode == 0, (i, outs[i][-2000:])
+    vals = [re.search(r"ptotal (-?\d+\.\d+)", o) for o in outs]
+    assert all(vals), [o[-500:] for o in outs]
+    a, b = (float(v.group(1)) for v in vals)
+    assert a == b and np.isfinite(a), (a, b)
