@@ -923,12 +923,98 @@ class SeqSampler(Sampler):
         sub._key = self.next_key()
         return sub
 
-    def predict(self, *args, **kwargs) -> list:
+    def predict(self, target: str = "latent", kind: str | None = None,
+                pf: str | None = None, N: int = 1000, squared=False,
+                lag=None, num_samples: int | None = None,
+                distr: str | None = None, **kwargs) -> list:
         """Per-sequence predictions, returned as a list (the reference's
         `SeqSGMCMCSampler.predict` loops sequences,
-        `sgmcmc_sampler.py:1285-1423`)."""
-        return [self._sub_sampler(i).predict(*args, **kwargs)
+        `sgmcmc_sampler.py:1285-1423`).
+
+        The PF path runs ONE vmapped padded-sequence program (validity-
+        masked tails) — one compile regardless of how many distinct
+        segment lengths exist; exact-message and sampling paths fall back
+        to the per-sequence loop."""
+        m = self.model
+        if kind is None:
+            kind = self._default_kind()
+        if kind != "pf" or num_samples is not None:
+            return [self._sub_sampler(i).predict(
+                target=target, kind=kind, pf=pf, N=N, squared=squared,
+                lag=lag, num_samples=num_samples, distr=distr, **kwargs)
                 for i in range(len(self._sequences))]
+        # ---- batched padded PF path (mirrors Sampler.predict's PF
+        # branch: validations, lag/pf contract, elementwise statistics)
+        if target not in ("latent", "y"):
+            raise ValueError(f"Unrecognized target '{target}'")
+        if pf is None:
+            pf = "filter" if lag == 0 else "poyiadjis_N"
+        if lag == 0 and pf != "filter":
+            raise ValueError("pf must be 'filter' for lag = 0")
+        if lag is None and pf == "filter":
+            raise ValueError("pf must not be 'filter' for smoothing")
+        fixed_lag = int(lag) if (lag is not None and lag > 0) else None
+        if squared and target != "y" and m.name != "garch":
+            raise NotImplementedError(
+                f"squared=True latent moments are GARCH-only, not {m.name}")
+        if target == "y":
+            if m.y_statistic is None:
+                raise NotImplementedError(
+                    f"{m.name} has no PF observation-moment statistic")
+            stat_fn, stat_dim = m.y_statistic, m.y_statistic_dim
+        else:
+            stat_fn, stat_dim = m.suff_statistic, m.suff_statistic_dim
+        from ..ops.buffered import run_buffered_pf
+        n_seq = len(self._sequences)
+        T_max = int(self.observations.shape[1])
+        kernel_name = kwargs.get("kernel")
+        cache_key = ("seq_pf_distr", target, pf, N, lag, T_max,
+                     kernel_name, kwargs.get("resampler", "multinomial"),
+                     kwargs.get("resample_mode", "auto"))
+        if cache_key not in self._cache:
+            lengths = jnp.asarray(self.lengths, jnp.int32)
+
+            def one_seq(key, params, obs_i, T_i):
+                step_valid = (jnp.arange(T_max) < T_i).astype(obs_i.dtype)
+                out = run_buffered_pf(
+                    m.get_kernel(kernel_name), stat_fn, params, obs_i,
+                    key=key, n_particles=N, statistic_dim=stat_dim,
+                    smoother=pf,
+                    prior_mean=m.prior_mean_var(params)[0],
+                    prior_var=m.prior_mean_var(params)[1],
+                    resampler=kwargs.get("resampler", "multinomial"),
+                    resample_mode=kwargs.get("resample_mode", "auto"),
+                    elementwise=True, window_length=T_max,
+                    fixed_lag=fixed_lag, step_valid=step_valid)
+                return out.mean_statistic
+
+            def run(key, params, obs):
+                keys = jax.random.split(key, n_seq)
+                return jax.vmap(
+                    lambda k, o, t: one_seq(k, params, o, t))(
+                    keys, obs, lengths)
+
+            self._cache[cache_key] = jax.jit(run)
+        stats = np.asarray(self._cache[cache_key](
+            self.next_key(), self.parameters, self.observations))
+        results = []
+        lengths_np = np.asarray(self.lengths)
+        for i in range(n_seq):
+            T_i = int(lengths_np[i])
+            stat = jnp.asarray(stats[i].reshape(T_max, stat_dim)[:T_i])
+            if target == "y":
+                mean, cov = m.y_moments(self.parameters, stat)
+            elif m.latent_moments is not None:
+                if squared:
+                    mean, cov = m.latent_moments(self.parameters, stat,
+                                                 squared=True)
+                else:
+                    mean, cov = m.latent_moments(self.parameters, stat)
+            else:
+                mean = stat[:, 0].reshape(-1, 1)
+                cov = (stat[:, 1] - stat[:, 0] ** 2).reshape(-1, 1, 1)
+            results.append((np.asarray(mean), np.asarray(cov)))
+        return results
 
     def predictive_loglikelihood(self, num_sequences: int = -1,
                                  num_steps_ahead: int = 5,

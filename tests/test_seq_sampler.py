@@ -267,6 +267,52 @@ def test_seq_predictive_loglikelihood_padded_matches_per_sequence():
                                float(out_trunc.loglikelihood), rtol=1e-12)
 
 
+def test_seq_predict_padded_matches_truncated_and_covers_lags():
+    """Batched Seq PF predict: the padded elementwise run (step_valid
+    freeze) equals the truncated single-sequence run bit-for-bit at the
+    same key, and the surface covers smoothed / filtered / fixed-lag."""
+    from sgmcmc_tpu.models.registry import get_model
+    from sgmcmc_tpu.ops.buffered import run_buffered_pf
+
+    true, seqs = make_sequences(17, n_seq=3)      # lengths 80, 120, 64
+    s = SeqSVMSampler(seqs, seed=21, parameters=true)
+    for lag, pf in [(None, None), (0, None), (2, None)]:
+        preds = s.predict(target="latent", kind="pf", N=64, lag=lag,
+                          resample_mode="gather")
+        assert len(preds) == 3
+        for (mean, cov), obs in zip(preds, seqs):
+            assert mean.shape[0] == obs.shape[0]
+            assert np.all(np.isfinite(mean)) and np.all(np.isfinite(cov))
+    # y-moments path
+    preds_y = s.predict(target="y", kind="pf", N=64,
+                        resample_mode="gather")
+    assert np.all(np.isfinite(preds_y[1][1]))
+    # only batched programs, no per-sequence sub-samplers
+    assert not any(isinstance(k, tuple) and k[0] == "sub"
+                   for k in s._cache)
+
+    # ops-level bitwise parity: padded + frozen tail == truncated
+    m = get_model("svm")
+    T_i, T_max = seqs[2].shape[0], 120
+    padded = jnp.zeros((T_max, 1), jnp.float64).at[:T_i].set(seqs[2])
+    key = jax.random.PRNGKey(123)
+    common = dict(n_particles=64, statistic_dim=m.suff_statistic_dim,
+                  smoother="poyiadjis_N", resampler="multinomial",
+                  resample_mode="gather", elementwise=True,
+                  prior_mean=m.prior_mean_var(true)[0],
+                  prior_var=m.prior_mean_var(true)[1])
+    out_pad = run_buffered_pf(
+        m.get_kernel(None), m.suff_statistic, true, padded, key=key,
+        window_length=T_max,
+        step_valid=(jnp.arange(T_max) < T_i).astype(jnp.float64), **common)
+    out_trunc = run_buffered_pf(
+        m.get_kernel(None), m.suff_statistic, true, jnp.asarray(seqs[2]),
+        key=key, window_length=T_i, **common)
+    pad_stat = np.asarray(out_pad.mean_statistic).reshape(T_max, -1)[:T_i]
+    trunc_stat = np.asarray(out_trunc.mean_statistic).reshape(T_i, -1)
+    np.testing.assert_allclose(pad_stat, trunc_stat, rtol=1e-12)
+
+
 def test_seq_svjm_sampler_runs():
     """SeqSVJMSampler: the jump model through the multi-sequence mixin."""
     import jax
