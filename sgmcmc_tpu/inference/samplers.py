@@ -1096,11 +1096,26 @@ class SeqSampler(Sampler):
     def exact_loglikelihood(self) -> float:
         """Sum of per-sequence exact marginal loglikelihoods
         (`SeqSGMCMCSampler.exact_loglikelihood`,
-        `sgmcmc_sampler.py:1176-1192`)."""
+        `sgmcmc_sampler.py:1176-1192`), computed as ONE vmapped
+        validity-masked message pass over the padded sequences — one
+        compile regardless of how many distinct segment lengths exist
+        (the reference loops sequences; a per-sequence loop here costs
+        one jit compile per distinct length)."""
         m = self.model
         if not m.has_exact:
             raise NotImplementedError(
                 f"{m.name} has no exact marginal loglikelihood")
+        if m.windowed_marginal_gradient is not None:
+            if "seq_exact_ll" not in self._cache:
+                cfg = sgmcmc.PFScoreConfig(n_particles=1,
+                                           subsequence_length=-1)
+                score = sgmcmc.make_seq_marginal_score_fn(
+                    m.windowed_marginal_gradient, cfg, self.lengths,
+                    num_sequences=-1)
+                self._cache["seq_exact_ll"] = jax.jit(
+                    lambda p, o: score(jax.random.PRNGKey(0), p, o)[1])
+            return float(self._cache["seq_exact_ll"](self.parameters,
+                                                     self.observations))
         if "exact_ll" not in self._cache:
             self._cache["exact_ll"] = jax.jit(m.marginal_loglikelihood)
         fn = self._cache["exact_ll"]

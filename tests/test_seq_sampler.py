@@ -352,3 +352,22 @@ def test_seq_full_buffer_short_subsequence_validated():
     with pytest.raises(ValueError, match="shortest"):
         sgmcmc.make_seq_pf_score_fn(svm.KERNEL, svm.grad_statistic, 3,
                                     svm.unpack_grad, cfg, lengths)
+
+
+def test_seq_exact_loglikelihood_batched_matches_per_sequence_sum():
+    """Batched validity-masked exact loglikelihood == sum of per-sequence
+    exact marginals (one compile vs one per distinct length)."""
+    from sgmcmc_tpu.inference.samplers import SeqLGSSMSampler
+    from sgmcmc_tpu.models import lgssm
+
+    true = lgssm.from_matrices(A=0.8, C=1.0, Q=0.5, R=1.0)
+    key = jax.random.PRNGKey(31)
+    seqs = [np.asarray(lgssm.generate_data(jax.random.fold_in(key, i),
+                                           true, T)[0])
+            for i, T in enumerate([40, 64, 52])]
+    s = SeqLGSSMSampler(seqs, seed=1, parameters=true)
+    batched = s.exact_loglikelihood()
+    assert "seq_exact_ll" in s._cache     # batched path taken
+    expected = sum(float(lgssm.marginal_loglikelihood(
+        true, jnp.asarray(o))) for o in seqs)
+    np.testing.assert_allclose(batched, expected, rtol=1e-10)
