@@ -14,9 +14,11 @@ posterior means / sds in the natural trace-eval coordinates:
 The two chains use different RNGs, so agreement is expected within
 Monte-Carlo error of the posterior spread (max |Δmean| / pooled sd < 1).
 
-Usage: python artifacts/reference_comparison.py [--ours_steps 4000]
-       [--ref_seconds 120] [--legs svm garch eurus]
-Writes artifacts/reference_comparison.md
+Usage: python artifacts/reference_comparison.py [--ours_steps 20000]
+       [--ref_seconds 600] [--legs svm garch eurus] [--ours_chains 1]
+Defaults reproduce the recorded PASS tables (total wall ~3.5 h, dominated
+by the two 90-min reference demo legs).  Writes
+artifacts/reference_comparison.md
 """
 import argparse
 import os
@@ -319,18 +321,22 @@ def compare_table(title, names, ours, ref, truth=None):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--ours_steps", type=int, default=4000)
-    ap.add_argument("--ref_seconds", type=float, default=120.0)
+    ap.add_argument("--ours_steps", type=int, default=20000)
+    ap.add_argument("--ref_seconds", type=float, default=600.0)
     ap.add_argument("--T", type=int, default=1000)
     ap.add_argument("--legs", nargs="+",
                     default=["svm", "garch", "eurus"])
     ap.add_argument("--eurus_segment", type=int, default=1)
     ap.add_argument("--eurus_N", type=int, default=1000)
-    ap.add_argument("--eurus_ours_steps", type=int, default=None,
-                    help="default: 25x --ours_steps (the eps=1e-3 demo "
-                         "legs mix ~100x slower than the eps=0.1 "
-                         "synthetic legs; the reference budget is 8h)")
-    ap.add_argument("--eurus_ref_seconds", type=float, default=None)
+    ap.add_argument("--eurus_ours_steps", type=int, default=400000,
+                    help="the eps=1e-3 demo legs have integrated "
+                         "autocorrelation times of order 1e4-1e5 steps; "
+                         "shorter runs compare transients, not "
+                         "posteriors (the reference budget is 8 h)")
+    ap.add_argument("--eurus_ref_seconds", type=float, default=5400.0,
+                    help="90 min per reference demo leg (~300k steps) — "
+                         "the measured convergence budget; the recorded "
+                         "PASS tables used exactly these defaults")
     ap.add_argument("--out", default="reference_comparison.md",
                     help="output markdown filename (relative to artifacts/)")
     ap.add_argument("--ours_chains", type=int, default=1,
@@ -391,8 +397,8 @@ def main():
         from exchange_rate_demo import DEFAULT_DATA, load_segments
         segments = load_segments(DEFAULT_DATA, min_len=25)
         obs = segments[args.eurus_segment]
-        e_steps = args.eurus_ours_steps or 25 * args.ours_steps
-        e_ref = args.eurus_ref_seconds or args.ref_seconds
+        e_steps = args.eurus_ours_steps
+        e_ref = args.eurus_ref_seconds
         for model in eurus_models:
             if args.ours_chains > 1:
                 ours = run_ours_eurus_multichain(
