@@ -167,19 +167,36 @@ def run_ours_eurus_multichain(observations, model, steps, n_chains,
     gf = sgmcmc.make_noisy_grad_fn(
         score, lambda p: m.grad_logprior(prior, p), T)
 
-    def chain(key, p0):
+    # chunked executions: one multi-minute XLA program kills the remote
+    # TPU worker (CLAUDE.md watchdog note) — 128 chains x 10k steps
+    # measured ~60 s/chunk, safely under the ~5 min limit
+    chunk = 10000
+
+    def chain_chunk(key, p0):
         step = lambda k, p, o: sgmcmc.sgld_step(k, p, o, gf, 0.001, T)
-        return sgmcmc.fit(key, p0, obs, step, steps,
+        return sgmcmc.fit(key, p0, obs, step, chunk,
                           project_fn=m.project_parameters)
 
+    fit_chunk = jax.jit(jax.vmap(chain_chunk))
     keys = jax.random.split(jax.random.PRNGKey(seed), n_chains)
     p0s = jax.vmap(lambda k: m.project_parameters(
         m.sample_prior(prior, k)))(
         jax.random.split(jax.random.PRNGKey(seed + 1), n_chains))
     p0s = jax.tree_util.tree_map(lambda x: x.astype(jnp.float32), p0s)
+    params = p0s
     t0 = time.time()
-    _, trace, _ = jax.jit(jax.vmap(chain))(keys, p0s)
-    burn = steps // 2
+    chunks = []
+    done = 0
+    thin = 10          # pooled moments don't need every autocorrelated step
+    while done < steps:
+        ck = jax.vmap(lambda k: jax.random.fold_in(k, done))(keys)
+        params, trace, _ = fit_chunk(ck, params)
+        chunks.append(jax.device_get(
+            jax.tree_util.tree_map(lambda x: x[:, ::thin], trace)))
+        done += chunk
+    trace = jax.tree_util.tree_map(
+        lambda *xs: np.concatenate(xs, axis=1), *chunks)
+    burn = (steps // thin) // 2
 
     def pooled(name, idx=(slice(None), slice(burn, None), 0)):
         return np.asarray(getattr(trace, name))[idx].ravel()
@@ -214,28 +231,37 @@ def run_ours_eurus(observations, model, steps, seed=1, N=1000):
     p0 = s.parameters
     t0 = time.time()
     # chunked whole-loop-compiled executions: one multi-minute XLA
-    # execution kills the remote TPU worker (CLAUDE.md watchdog note)
-    params_list = s.fit_scan_chunked(
-        "SGLD", num_iters=steps, chunk_iters=50000, epsilon=0.001, N=N,
-        subsequence_length=16, buffer_length=4, pf="poyiadjis_N",
-        resampler="systematic", resample_mode="auto")
+    # execution kills the remote TPU worker (CLAUDE.md watchdog note).
+    # Keep the STACKED per-chunk trace leaves and concatenate — no
+    # per-iteration Python objects.
+    import jax
+    chunk = 50000
+    traces, done = [], 0
+    while done < steps:
+        n = min(chunk, steps - done)
+        tr = s.fit_scan("SGLD", num_iters=n, epsilon=0.001, N=N,
+                        subsequence_length=16, buffer_length=4,
+                        pf="poyiadjis_N", resampler="systematic",
+                        resample_mode="auto")
+        traces.append(jax.device_get(tr))
+        done += n
+    trace = jax.tree_util.tree_map(
+        lambda *xs: np.concatenate(xs, axis=0), *traces)
     elapsed = time.time() - t0
-    burn = len(params_list) // 2
-    tail = params_list[burn:]
-
-    def col(name, idx=(0,)):
-        return np.array([float(np.asarray(getattr(q, name))[idx])
-                         for q in tail])
-
+    burn = steps // 2
     if model == "svm":
-        out = dict(phi=col("A", (0, 0)),
-                   sigma=1.0 / np.abs(col("LQinv_vec")),
-                   tau=1.0 / np.abs(col("LRinv_vec")))
+        out = dict(phi=np.asarray(trace.A)[burn:, 0, 0],
+                   sigma=1.0 / np.abs(np.asarray(
+                       trace.LQinv_vec)[burn:, 0]),
+                   tau=1.0 / np.abs(np.asarray(
+                       trace.LRinv_vec)[burn:, 0]))
     else:
-        out = dict(log_mu=col("log_mu"),
-                   logit_phi=col("logit_phi"),
-                   logit_lambduh=col("logit_lambduh"),
-                   tau=1.0 / np.abs(col("LRinv_vec")))
+        out = dict(log_mu=np.asarray(trace.log_mu)[burn:, 0],
+                   logit_phi=np.asarray(trace.logit_phi)[burn:, 0],
+                   logit_lambduh=np.asarray(
+                       trace.logit_lambduh)[burn:, 0],
+                   tau=1.0 / np.abs(np.asarray(
+                       trace.LRinv_vec)[burn:, 0]))
     out.update(steps=steps, seconds=elapsed, init=p0)
     return out
 

@@ -409,26 +409,37 @@ def do_fit(args, options):
     t_start = time.perf_counter()
     last_eval = -float("inf")
     it = start_iteration
+
+    def evaluate_now():
+        nonlocal last_eval
+        evaluator.eval_metric_functions(sampler, evaluator.iteration,
+                                        time=evaluator.elapsed_time)
+        evaluator.eval_sample_functions(sampler, evaluator.iteration,
+                                        time=evaluator.elapsed_time)
+        last_eval = evaluator.elapsed_time
+
     try:
         while (time.perf_counter() - t_start < max_time
                and it < max_iters):
             for _ in range(steps):
                 evaluator.evaluate_sampler_step(func_names, func_kwargs,
                                                 evaluate=False)
-            if evaluator.elapsed_time - last_eval > eval_freq:
-                evaluator.eval_metric_functions(
-                    sampler, evaluator.iteration,
-                    time=evaluator.elapsed_time)
-                evaluator.eval_sample_functions(
-                    sampler, evaluator.iteration,
-                    time=evaluator.elapsed_time)
-                last_eval = evaluator.elapsed_time
+            # time-throttled, but forced on the final iteration (the
+            # reference also forces max_num_iters-1 / max-time-exceeded,
+            # `svm/driver.py:470-472`)
+            if (evaluator.elapsed_time - last_eval > eval_freq
+                    or it + 1 >= max_iters):
+                evaluate_now()
             parameters_list.append(sampler.parameters)
             times.append(evaluator.elapsed_time)
             it += 1
             if it % checkpoint_every == 0:
                 _save_fit_state(state_path, evaluator, parameters_list,
                                 times, it)
+        if last_eval != evaluator.elapsed_time:
+            # max-time exit between scheduled evals: metrics at the
+            # FINAL fitted parameters must exist
+            evaluate_now()
     except Exception:
         _save_fit_state(state_path, evaluator, parameters_list, times, it)
         raise
@@ -528,7 +539,11 @@ def do_eval_ksd(args, options):
         params_list = [params_list[i] for i in idx]
 
     sampler = _build_sampler(options, data, params_list[0])
-    grad_kwargs = dict(N=args.ksd_N, subsequence_length=-1, is_scaled=False)
+    # check_finite=False: keep the score loop's async dispatch (the
+    # per-call NaN guard would force a blocking transfer per task);
+    # non-finite scores surface in the KSD conversion below
+    grad_kwargs = dict(N=args.ksd_N, subsequence_length=-1,
+                      is_scaled=False, check_finite=False)
     if not sampler.model.has_pf:
         grad_kwargs["kind"] = "marginal"
         grad_kwargs.pop("N")

@@ -217,16 +217,30 @@ class Sampler:
         return self._cache["exact_grad"](self.parameters, self.observations)
 
     # -- gradient / steps --------------------------------------------------
-    def noisy_gradient(self, preconditioner=False, is_scaled=True, **kwargs):
+    def _grad_has_nan(self, grad) -> bool:
+        """One jitted fused reduction + one scalar transfer (eager
+        per-leaf isnan over the tunneled backend costs seconds/op)."""
+        if "_nan_check" not in self._cache:
+            def any_nan(g):
+                flags = [jnp.any(jnp.isnan(leaf))
+                         for leaf in jax.tree_util.tree_leaves(g)]
+                return jnp.any(jnp.stack(flags))
+
+            self._cache["_nan_check"] = jax.jit(any_nan)
+        return bool(self._cache["_nan_check"](grad))
+
+    def noisy_gradient(self, preconditioner=False, is_scaled=True,
+                       check_finite: bool = True, **kwargs):
         grad, _ = self._grad_fn(preconditioned=bool(preconditioner),
                                 is_scaled=is_scaled, **kwargs)(
             self.next_key(), self.parameters, self.observations)
         # reference sanity guard (`_noisy_grad_loglikelihood`,
-        # `sgmcmc_sampler.py:420-424`).  Diagnostic surface only — the
-        # jitted `_step` hot path stays transfer-free.
-        for leaf in jax.tree_util.tree_leaves(grad):
-            if bool(jnp.any(jnp.isnan(leaf))):
-                raise ValueError("NaNs in gradient")
+        # `sgmcmc_sampler.py:420-424`).  ``check_finite=False`` skips the
+        # blocking transfer for batch pipelines that want async dispatch
+        # (e.g. the KSD score loop); the jitted `_step` hot path never
+        # pays it.
+        if check_finite and self._grad_has_nan(grad):
+            raise ValueError("NaNs in gradient")
         return grad
 
     def _step(self, name: str, epsilon: float, **kwargs):
@@ -665,30 +679,8 @@ class Sampler:
                 "joint posterior sampling is not available on the PF path "
                 "(reference contract: `latent_var_sample` raises for "
                 "PF-only models, `svm/sampler.py:67-78`)")
-        # lag/pf contract (`pf_latent_var_distr`, `svm/helper.py:253-258`):
-        # lag=0 needs the filter; smoothing must not use the filter.
-        if pf is None:
-            pf = "filter" if lag == 0 else "poyiadjis_N"
-        if lag == 0 and pf != "filter":
-            raise ValueError("pf must be 'filter' for lag = 0")
-        if lag is None and pf == "filter":
-            raise ValueError("pf must not be 'filter' for smoothing")
-        fixed_lag = int(lag) if (lag is not None and lag > 0) else None
-        if squared and target != "y" and m.name != "garch":
-            # `squared` is a GARCH-only contract in the reference too
-            # (`garch/helper.py:236-267`; no other helper accepts it).
-            # Validated BEFORE the PF compiles/executes — an invalid call
-            # must not pay a full particle-filter run on a tunneled TPU.
-            raise NotImplementedError(
-                f"squared=True latent moments are GARCH-only, not {m.name}")
-
-        if target == "y":
-            if m.y_statistic is None:
-                raise NotImplementedError(
-                    f"{m.name} has no PF observation-moment statistic")
-            stat_fn, stat_dim = m.y_statistic, m.y_statistic_dim
-        else:
-            stat_fn, stat_dim = m.suff_statistic, m.suff_statistic_dim
+        pf, fixed_lag, stat_fn, stat_dim = self._pf_predict_setup(
+            target, pf, lag, squared)
         from ..ops.buffered import run_buffered_pf
         T = self.T
         kernel_name = kwargs.get("kernel")
@@ -712,19 +704,55 @@ class Sampler:
             self._cache[cache_key] = jax.jit(run)
         stat = self._cache[cache_key](
             self.next_key(), self.parameters, self.observations)
-        stat = stat.reshape(T, stat_dim)
-        if target == "y":
-            mean, cov = m.y_moments(self.parameters, stat)
-        elif m.latent_moments is not None:
-            if squared:   # GARCH data-fit view (`garch/helper.py:262-267`)
-                mean, cov = m.latent_moments(self.parameters, stat,
-                                             squared=True)
-            else:
-                mean, cov = m.latent_moments(self.parameters, stat)
-        else:
-            mean = stat[:, 0].reshape(-1, 1)
-            cov = (stat[:, 1] - stat[:, 0] ** 2).reshape(-1, 1, 1)
+        mean, cov = self._pf_stat_to_moments(target, squared,
+                                             stat.reshape(T, stat_dim))
         return np.asarray(mean), np.asarray(cov)
+
+    def _pf_predict_setup(self, target, pf, lag, squared):
+        """Shared validation + statistic selection for the PF predict
+        paths (single-sequence and padded multi-sequence).
+
+        lag/pf contract (`pf_latent_var_distr`, `svm/helper.py:253-258`):
+        lag=0 needs the filter; smoothing must not use the filter.
+        ``squared`` is a GARCH-only contract in the reference too
+        (`garch/helper.py:236-267`) — validated BEFORE the PF
+        compiles/executes, so an invalid call never pays a full
+        particle-filter run on a tunneled TPU."""
+        m = self.model
+        if target not in ("latent", "y"):
+            raise ValueError(f"Unrecognized target '{target}'")
+        if pf is None:
+            pf = "filter" if lag == 0 else "poyiadjis_N"
+        if lag == 0 and pf != "filter":
+            raise ValueError("pf must be 'filter' for lag = 0")
+        if lag is None and pf == "filter":
+            raise ValueError("pf must not be 'filter' for smoothing")
+        fixed_lag = int(lag) if (lag is not None and lag > 0) else None
+        if squared and target != "y" and m.name != "garch":
+            raise NotImplementedError(
+                f"squared=True latent moments are GARCH-only, not {m.name}")
+        if target == "y":
+            if m.y_statistic is None:
+                raise NotImplementedError(
+                    f"{m.name} has no PF observation-moment statistic")
+            return pf, fixed_lag, m.y_statistic, m.y_statistic_dim
+        return pf, fixed_lag, m.suff_statistic, m.suff_statistic_dim
+
+    def _pf_stat_to_moments(self, target, squared, stat):
+        """[T, stat_dim] elementwise smoothed statistics -> per-t
+        (mean, cov) via the model's moment maps (GARCH data-fit view at
+        `garch/helper.py:262-267`)."""
+        m = self.model
+        if target == "y":
+            return m.y_moments(self.parameters, stat)
+        if m.latent_moments is not None:
+            if squared:
+                return m.latent_moments(self.parameters, stat,
+                                        squared=True)
+            return m.latent_moments(self.parameters, stat)
+        mean = stat[:, 0].reshape(-1, 1)
+        cov = (stat[:, 1] - stat[:, 0] ** 2).reshape(-1, 1, 1)
+        return mean, cov
 
     def predictive_loglikelihood(self, num_steps_ahead: int = 5,
                                  kind: str | None = None, N: int = 1000,
@@ -907,7 +935,7 @@ class SeqSampler(Sampler):
     def noisy_loglikelihood(self, **kwargs) -> float:
         _, loglik = self._grad_fn(**kwargs)(
             self.next_key(), self.parameters, self.observations)
-        return float(loglik)
+        return self._check_finite_ll(float(loglik))
 
     def _sub_sampler(self, i: int) -> "Sampler":
         """Cached single-sequence Sampler view of sequence i (shares the
@@ -943,27 +971,10 @@ class SeqSampler(Sampler):
                 target=target, kind=kind, pf=pf, N=N, squared=squared,
                 lag=lag, num_samples=num_samples, distr=distr, **kwargs)
                 for i in range(len(self._sequences))]
-        # ---- batched padded PF path (mirrors Sampler.predict's PF
-        # branch: validations, lag/pf contract, elementwise statistics)
-        if target not in ("latent", "y"):
-            raise ValueError(f"Unrecognized target '{target}'")
-        if pf is None:
-            pf = "filter" if lag == 0 else "poyiadjis_N"
-        if lag == 0 and pf != "filter":
-            raise ValueError("pf must be 'filter' for lag = 0")
-        if lag is None and pf == "filter":
-            raise ValueError("pf must not be 'filter' for smoothing")
-        fixed_lag = int(lag) if (lag is not None and lag > 0) else None
-        if squared and target != "y" and m.name != "garch":
-            raise NotImplementedError(
-                f"squared=True latent moments are GARCH-only, not {m.name}")
-        if target == "y":
-            if m.y_statistic is None:
-                raise NotImplementedError(
-                    f"{m.name} has no PF observation-moment statistic")
-            stat_fn, stat_dim = m.y_statistic, m.y_statistic_dim
-        else:
-            stat_fn, stat_dim = m.suff_statistic, m.suff_statistic_dim
+        # ---- batched padded PF path (shares Sampler.predict's PF-branch
+        # validation and moments dispatch through the _pf_predict helpers)
+        pf, fixed_lag, stat_fn, stat_dim = self._pf_predict_setup(
+            target, pf, lag, squared)
         from ..ops.buffered import run_buffered_pf
         n_seq = len(self._sequences)
         T_max = int(self.observations.shape[1])
@@ -1002,17 +1013,7 @@ class SeqSampler(Sampler):
         for i in range(n_seq):
             T_i = int(lengths_np[i])
             stat = jnp.asarray(stats[i].reshape(T_max, stat_dim)[:T_i])
-            if target == "y":
-                mean, cov = m.y_moments(self.parameters, stat)
-            elif m.latent_moments is not None:
-                if squared:
-                    mean, cov = m.latent_moments(self.parameters, stat,
-                                                 squared=True)
-                else:
-                    mean, cov = m.latent_moments(self.parameters, stat)
-            else:
-                mean = stat[:, 0].reshape(-1, 1)
-                cov = (stat[:, 1] - stat[:, 0] ** 2).reshape(-1, 1, 1)
+            mean, cov = self._pf_stat_to_moments(target, squared, stat)
             results.append((np.asarray(mean), np.asarray(cov)))
         return results
 
@@ -1372,15 +1373,18 @@ class SLDSSampler:
             self._cache[cache_key] = jax.jit(fn)
         return self._cache[cache_key]
 
-    def noisy_gradient(self, is_scaled: bool = True, **kwargs):
+    def noisy_gradient(self, is_scaled: bool = True,
+                       check_finite: bool = True, **kwargs):
         grad, _ = self._grad_fn(is_scaled=is_scaled, **kwargs)(
             self.next_key(), self.parameters, self.observations)
+        if check_finite and Sampler._grad_has_nan(self, grad):
+            raise ValueError("NaNs in gradient")
         return grad
 
     def noisy_loglikelihood(self, **kwargs) -> float:
         _, ll = self._grad_fn(**kwargs)(
             self.next_key(), self.parameters, self.observations)
-        return float(ll)
+        return Sampler._check_finite_ll(float(ll))
 
     def noisy_logjoint(self, return_loglike: bool = False, **kwargs):
         """Noisy complete-data logjoint = noisy loglikelihood + logprior

@@ -312,6 +312,9 @@ def test_fit_eval_freq_throttles_metrics(tmp_path):
         n_eval_iters = df["iteration"].nunique()
         assert n_iters >= 3
         if expect_sparse:
-            assert n_eval_iters <= 2, (n_eval_iters, n_iters)
+            # init row + first in-loop eval + forced final-iteration eval
+            assert n_eval_iters <= 3, (n_eval_iters, n_iters)
+            assert df["iteration"].max() == n_iters, (
+                df["iteration"].max(), n_iters)   # final metrics exist
         else:
             assert n_eval_iters >= n_iters, (n_eval_iters, n_iters)

@@ -386,6 +386,43 @@ def test_island_fused_small_island_warns(mesh):
         [str(w.message) for w in rec]
 
 
+def _run_two_process(child: str, pattern: str, attempts: int = 2):
+    """Spawn two coordinated child processes on a fresh port and return
+    the two matched floats.  The bind-then-close port pick is a TOCTOU
+    race (another process can claim the port before gloo binds it), so a
+    failed attempt retries once with a new port before failing."""
+    import os
+    import re
+    import socket
+    import subprocess
+    import sys
+
+    env = {**os.environ}
+    env.pop("XLA_FLAGS", None)
+    cwd = os.path.join(os.path.dirname(__file__), "..")
+    last = None
+    for _ in range(attempts):
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            port = s.getsockname()[1]
+        procs = [subprocess.Popen(
+            [sys.executable, "-c", child, str(i), str(port)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env, cwd=cwd) for i in range(2)]
+        try:
+            outs = [p.communicate(timeout=280)[0] for p in procs]
+        except subprocess.TimeoutExpired:
+            for p in procs:
+                p.kill()           # exact child PIDs, never a pattern
+            last = "timeout (port race?)"
+            continue
+        vals = [re.search(pattern, o) for o in outs]
+        if all(p.returncode == 0 for p in procs) and all(vals):
+            return [float(v.group(1)) for v in vals]
+        last = [o[-2000:] for o in outs]
+    raise AssertionError(f"two-process run failed: {last}")
+
+
 def test_two_process_distributed_step_agrees():
     """TRUE multi-process validation: two OS processes, each with 4
     virtual CPU devices, form one 8-device global mesh via
@@ -394,15 +431,7 @@ def test_two_process_distributed_step_agrees():
     loglikelihood across hosts — both processes must see the identical
     scalar.  Exercises the cross-host collective path the single-process
     coordinator test cannot."""
-    import socket
-    import subprocess
-    import sys
-    import re
     import textwrap
-
-    with socket.socket() as s:
-        s.bind(("127.0.0.1", 0))
-        port = s.getsockname()[1]
 
     child = textwrap.dedent("""
         import os, sys
@@ -451,20 +480,7 @@ def test_two_process_distributed_step_agrees():
         new, tot = run(keys, params0, ys)
         print(f"total_ll {float(tot):.9f}", flush=True)
     """)
-    import os
-    env = {**os.environ}
-    env.pop("XLA_FLAGS", None)
-    procs = [subprocess.Popen(
-        [sys.executable, "-c", child, str(i), str(port)],
-        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
-        env=env, cwd=os.path.join(os.path.dirname(__file__), ".."))
-        for i in range(2)]
-    outs = [p.communicate(timeout=280)[0] for p in procs]
-    for i, p in enumerate(procs):
-        assert p.returncode == 0, (i, outs[i][-2000:])
-    vals = [re.search(r"total_ll (-?\d+\.\d+)", o) for o in outs]
-    assert all(vals), [o[-500:] for o in outs]
-    a, b = (float(v.group(1)) for v in vals)
+    a, b = _run_two_process(child, r"total_ll (-?\d+\.\d+)")
     assert a == b, (a, b)
     assert np.isfinite(a)
 
@@ -475,16 +491,7 @@ def test_two_process_cross_host_particle_sharding_agrees():
     processes — the PF's internal psum/all_gather (global resampling
     comb, log-normalization) run as real cross-process collectives.
     Both processes must compute the identical all-reduced loglik."""
-    import os
-    import re
-    import socket
-    import subprocess
-    import sys
     import textwrap
-
-    with socket.socket() as s:
-        s.bind(("127.0.0.1", 0))
-        port = s.getsockname()[1]
 
     child = textwrap.dedent("""
         import os, sys
@@ -535,17 +542,5 @@ def test_two_process_cross_host_particle_sharding_agrees():
         new, tot = run(keys, params0, ys)
         print(f"ptotal {float(tot):.9f}", flush=True)
     """)
-    env = {**os.environ}
-    env.pop("XLA_FLAGS", None)
-    procs = [subprocess.Popen(
-        [sys.executable, "-c", child, str(i), str(port)],
-        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
-        env=env, cwd=os.path.join(os.path.dirname(__file__), ".."))
-        for i in range(2)]
-    outs = [p.communicate(timeout=280)[0] for p in procs]
-    for i, p in enumerate(procs):
-        assert p.returncode == 0, (i, outs[i][-2000:])
-    vals = [re.search(r"ptotal (-?\d+\.\d+)", o) for o in outs]
-    assert all(vals), [o[-500:] for o in outs]
-    a, b = (float(v.group(1)) for v in vals)
+    a, b = _run_two_process(child, r"ptotal (-?\d+\.\d+)")
     assert a == b and np.isfinite(a), (a, b)
