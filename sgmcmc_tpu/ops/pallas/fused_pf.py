@@ -525,6 +525,11 @@ def fused_pf_score(model: FusedModel, key, params, window, step_weights,
     per chain from HBM — statistically equivalent iid normals, but draws
     depend on the chain-block layout rather than only on ``key`` (x0 and
     the systematic offsets stay key-deterministic).
+
+    ``pipeline=True`` issues qp group i+1's B1 build + MXU gather dot
+    before group i's VPU tail (bitwise-identical reordering).  Measured
+    +0.04% at the flagship config — a no-op on this Mosaic; kept as a
+    research option (BENCH_NOTES).
     """
     s = TWO_LEVEL_S
     assert n_particles % s == 0, "fused path needs N divisible by 8"
