@@ -31,6 +31,7 @@ _EXPORTS = {
     "SeqLGSSMSampler": "sgmcmc_tpu.inference.samplers",
     "SeqGaussHMMSampler": "sgmcmc_tpu.inference.samplers",
     "SeqARPHMMSampler": "sgmcmc_tpu.inference.samplers",
+    "sampler_for_model": "sgmcmc_tpu.inference.samplers",
     "ModelAPI": "sgmcmc_tpu.models.registry",
     "get_model": "sgmcmc_tpu.models.registry",
     "BaseEvaluator": "sgmcmc_tpu.evaluation.evaluator",
