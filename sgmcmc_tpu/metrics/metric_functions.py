@@ -129,20 +129,30 @@ def noisy_predictive_logjoint_loglike_metric(num_steps_ahead: int,
     return metric_fn
 
 
-def metric_compare_x(true_x, metric: str = "rmse") -> Callable:
+def metric_compare_x(true_x, metric: str = "rmse", N: int = 1000,
+                     **predict_kwargs) -> Callable:
     """Latent-path recovery error (`metric_compare_x`,
-    `metric_functions.py:440-456`); requires the sampler to expose
-    `latent_var_mean()` or an exact smoother."""
+    `metric_functions.py:440-456`).
+
+    LGSSM-family samplers use the exact Kalman smoothed means; PF-only
+    models (SVM/GARCH/SVJM, ...) fall back to the smoothed PF latent
+    means through the `predict` surface (``N`` particles,
+    ``predict_kwargs`` forwarded — e.g. ``pf='paris'``)."""
     true_x = np.asarray(true_x)
 
     def metric_fn(sampler):
-        from ..models import lgssm as lgssm_mod
-        from ..ops import kalman
-        p = sampler.parameters
-        mean, _ = kalman.pairwise_smoothed_moments(
-            sampler.observations, p.A, p.C, p.LQinv, p.LRinv,
-            lgssm_mod.default_forward_message(p),
-            lgssm_mod.default_backward_message(p))
+        model = getattr(sampler, "model", None)
+        if model is not None and model.name.startswith("lgssm"):
+            from ..models import lgssm as lgssm_mod
+            from ..ops import kalman
+            p = sampler.parameters
+            mean, _ = kalman.pairwise_smoothed_moments(
+                sampler.observations, p.A, p.C, p.LQinv, p.LRinv,
+                lgssm_mod.default_forward_message(p),
+                lgssm_mod.default_backward_message(p))
+        else:
+            mean, _ = sampler.predict(target="latent", kind="pf", N=N,
+                                      **predict_kwargs)
         return dict(metric=f"x_{metric}", variable="x",
                     value=_error(metric, np.asarray(mean), true_x))
 

@@ -101,6 +101,19 @@ def test_ks_test_traces():
     assert diff[0]["pvalue"] < 0.01
 
 
+def test_metric_compare_x_pf_fallback():
+    """metric_compare_x on a PF-only model routes through the smoothed
+    predict surface; at the true parameters the smoothed latent means
+    track the simulated path (RMSE well below the prior sd)."""
+    s, true = make_sampler()
+    _, xs = svm.generate_data(jax.random.PRNGKey(0), true, 60)
+    row = mf.metric_compare_x(np.asarray(xs), N=256,
+                              resample_mode="gather")(s)
+    assert row["metric"] == "x_rmse"
+    prior_sd = float(np.sqrt(0.5 / (1 - 0.9 ** 2)))
+    assert 0 < row["value"] < prior_sd, (row, prior_sd)
+
+
 def test_metric_compare_z_precision_recall_arphmm():
     """NMI + precision + recall + accuracy rows from metric_compare_z on an
     ARPHMM (`metric_functions.py:419-438`: precision = sum_j max_i C_ij /
