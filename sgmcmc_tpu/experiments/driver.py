@@ -509,6 +509,13 @@ def do_eval(args, options, target: str):
     metric_fns = _metric_fns(options, data, sampler)
     metric_fns.append(mf.noisy_logjoint_loglike_metric(
         N=args.eval_N, subsequence_length=-1))
+    if args.eval_predictive > 0:
+        # held-out k-step predictive loglikelihood rows
+        # (`svm/driver.py:602-603`; slot 0 = filter loglik on PF models)
+        kind = "pf" if sampler.model.has_pf else "marginal"
+        pred_kwargs = dict(N=args.eval_N) if kind == "pf" else {}
+        metric_fns.append(mf.noisy_predictive_logjoint_loglike_metric(
+            args.eval_predictive, kind=kind, **pred_kwargs))
     evaluator = OfflineEvaluator(
         sampler, params_list, times, metric_functions=metric_fns)
     evaluator.evaluate(num_to_eval=args.num_to_eval)
@@ -719,6 +726,10 @@ def build_parser():
     parser.add_argument("--max_time", type=float, default=None)
     parser.add_argument("--num_to_eval", type=int, default=20)
     parser.add_argument("--eval_N", type=int, default=1000)
+    parser.add_argument("--eval_predictive", type=int, default=0,
+                        help="add k-step held-out predictive-"
+                             "loglikelihood metric rows to --eval "
+                             "(svm/driver.py:602-603); 0 disables")
     parser.add_argument("--ksd_N", type=int, default=1000)
     parser.add_argument("--max_ksd_samples", type=int, default=100)
     parser.add_argument("--ksd_passes", type=int, default=1,

@@ -318,3 +318,22 @@ def test_fit_eval_freq_throttles_metrics(tmp_path):
                 df["iteration"].max(), n_iters)   # final metrics exist
         else:
             assert n_eval_iters >= n_iters, (n_eval_iters, n_iters)
+
+
+def test_eval_predictive_metric_rows(tmp_path):
+    """--eval_predictive k adds held-out k-step predictive rows
+    (`svm/driver.py:602-603`): slot 0 = filter loglik on PF models."""
+    exp_dir = str(tmp_path / "pred")
+    args = make_args(exp_dir, max_time=2.0, eval_N=32, num_to_eval=2)
+    args.eval_predictive = 2
+    options_list = driver.do_setup(args, sampler_grid=small_grid())
+    o = options_list[0]
+    driver.do_fit(args, o)
+    driver.do_eval(args, o, "half_avg_train")
+    df = pd.read_csv(os.path.join(
+        exp_dir, "out", "eval",
+        f"{o['experiment_id']}_half_avg_train_metrics.csv"))
+    pred = {f"{k}_pred_loglikelihood" for k in range(3)}
+    assert pred <= set(df["metric"]), sorted(set(df["metric"]))
+    assert np.all(np.isfinite(
+        df[df["metric"].isin(pred)]["value"]))
