@@ -11,7 +11,11 @@ import pathlib
 import sys
 import time
 
-sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+import importlib.util
+if importlib.util.find_spec("sgmcmc_tpu") is None:
+    # repo-root fallback for uninstalled checkouts (pip install -e . removes the need)
+    import pathlib, sys
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 import jax
 import jax.numpy as jnp

@@ -25,7 +25,11 @@ import math
 import sys
 import time
 
-sys.path.insert(0, ".")
+import importlib.util
+if importlib.util.find_spec("sgmcmc_tpu") is None:
+    # repo-root fallback for uninstalled checkouts (pip install -e . removes the need)
+    import pathlib, sys
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 import jax
 import jax.numpy as jnp

@@ -12,7 +12,11 @@ Usage: nohup timeout 900 python -u scripts/tpu_check_bw_chunk.py > log 2>&1 &
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+import importlib.util
+if importlib.util.find_spec("sgmcmc_tpu") is None:
+    # repo-root fallback for uninstalled checkouts (pip install -e . removes the need)
+    import pathlib, sys
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 import jax
 import jax.numpy as jnp

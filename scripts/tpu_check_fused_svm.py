@@ -1,5 +1,9 @@
 import sys, json
-import pathlib; sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+import importlib.util
+if importlib.util.find_spec("sgmcmc_tpu") is None:
+    # repo-root fallback for uninstalled checkouts (pip install -e . removes the need)
+    import pathlib, sys
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 import jax, jax.numpy as jnp, numpy as np
 from sgmcmc_tpu.models import svm
 from sgmcmc_tpu.ops.pallas.fused_pf import fused_pf_score

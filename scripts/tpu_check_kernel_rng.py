@@ -6,7 +6,11 @@
    host vs kernel RNG.
 """
 import sys
-import pathlib; sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))  # noqa: E702
+import importlib.util
+if importlib.util.find_spec("sgmcmc_tpu") is None:
+    # repo-root fallback for uninstalled checkouts (pip install -e . removes the need)
+    import pathlib, sys
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 import time
 
 import jax

@@ -6,7 +6,11 @@ flagship SVM fused bundle, then times the full SGLD step at each setting.
 Run: nohup timeout 1200 python -u scripts/tpu_check_qp_merge.py > /tmp/qpm.log 2>&1 &
 """
 import sys
-sys.path.insert(0, "/root/repo")
+import importlib.util
+if importlib.util.find_spec("sgmcmc_tpu") is None:
+    # repo-root fallback for uninstalled checkouts (pip install -e . removes the need)
+    import pathlib, sys
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 import time
 

@@ -320,6 +320,72 @@ def test_fit_eval_freq_throttles_metrics(tmp_path):
             assert n_eval_iters >= n_iters, (n_eval_iters, n_iters)
 
 
+def test_multichain_fit_pipeline(tmp_path):
+    """--num_chains 32: the fit phase runs 32 vmapped chains through
+    `fit_scan(num_chains=...)`, writes convergence diagnostics
+    (split-R-hat/ESS per coordinate), and the downstream eval/process_out
+    phases work unchanged on the chain-0 trace view."""
+    exp_dir = str(tmp_path / "mc")
+    args = make_args(exp_dir, max_time=5.0, eval_N=32, num_to_eval=2,
+                     num_chains=32)
+    args.init_methods = ["prior"]
+    grid = cfg.parameter_grid(dict(
+        iter_type=["SGLD"], epsilon=[0.05], subsequence_length=[16],
+        buffer_length=[4], steps_per_iteration=[1], pf=["poyiadjis_N"],
+        N=[16], name=["MC"], max_time=[5], max_num_iters=[12],
+        checkpoint_num_iters=[4]))
+    options_list = driver.do_setup(args, sampler_grid=grid)
+    o = options_list[0]
+    driver.do_fit(args, o)
+
+    from sgmcmc_tpu.io import checkpoint as ckpt
+    trace = ckpt.load_trace(os.path.join(
+        exp_dir, "out", "fit", f"{o['experiment_id']}_parameters.p"))
+    assert trace["num_chains"] == 32
+    assert trace["chain_parameters"].A.shape[0] == 32
+    n = trace["chain_parameters"].A.shape[1]
+    assert len(trace["parameters_list"]) == n + 1   # init + chain-0 trace
+    # overdispersed prior inits: chains start at distinct parameters
+    a0 = np.asarray(trace["chain_parameters"].A[:, 0, 0, 0])
+    assert len(np.unique(a0)) > 16
+
+    conv = pd.read_csv(os.path.join(
+        exp_dir, "out", "fit", f"{o['experiment_id']}_convergence.csv"))
+    assert {"variable", "rhat", "ess", "iact", "se_mean"} <= set(
+        conv.columns)
+    assert np.all(np.isfinite(conv["rhat"]))
+    assert np.all(conv["ess"] > 0)
+    assert conv["num_chains"].iloc[0] == 32
+
+    # resume: a second do_fit call continues the saved stacked chains
+    it1 = n
+    driver.do_fit(args, o)
+    trace2 = ckpt.load_trace(os.path.join(
+        exp_dir, "out", "fit", f"{o['experiment_id']}_parameters.p"))
+    assert trace2["chain_parameters"].A.shape[1] >= it1
+
+    # downstream phases on the chain-0 view
+    driver.do_eval(args, o, "half_avg_train")
+    df = pd.read_csv(os.path.join(
+        exp_dir, "out", "eval",
+        f"{o['experiment_id']}_half_avg_train_metrics.csv"))
+    assert np.all(np.isfinite(df["value"]))
+    agg = driver.do_process_out(args, options_list)
+    assert agg is not None
+    assert "rhat" in agg.columns           # convergence rows aggregated
+
+
+def test_multichain_rejects_gibbs(tmp_path):
+    exp_dir = str(tmp_path / "mcg")
+    args = make_args(exp_dir, max_time=1.0, num_chains=4)
+    args.model = "lgssm"
+    grid = cfg.parameter_grid(dict(iter_type=["Gibbs"], name=["GIBBS"],
+                                   max_time=[1]))
+    options_list = driver.do_setup(args, sampler_grid=grid)
+    with pytest.raises(ValueError, match="gradient iter_type"):
+        driver.do_fit(args, options_list[0])
+
+
 def test_eval_predictive_metric_rows(tmp_path):
     """--eval_predictive k adds held-out k-step predictive rows
     (`svm/driver.py:602-603`): slot 0 = filter loglik on PF models."""

@@ -1,0 +1,144 @@
+"""Multi-chain `fit_scan(num_chains=C)`: the first-class vmapped-chain
+surface (TPU-native form of the reference's shell-job-per-chain
+parallelism, `driver_utils.py:79`)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sgmcmc_tpu.inference.samplers import LGSSMSampler, SVMSampler
+from sgmcmc_tpu.models import svm as svm_mod
+
+KW = dict(N=16, subsequence_length=16, buffer_length=2)
+
+
+@pytest.fixture(scope="module")
+def svm_obs():
+    true = svm_mod.from_scalars(A=0.9, Q=0.5, R=1.0, dtype=jnp.float64)
+    ys, _ = svm_mod.generate_data(jax.random.PRNGKey(0), true, 100)
+    return ys
+
+
+def _sampler(svm_obs, seed=1):
+    s = SVMSampler(observations=svm_obs, seed=seed)
+    s.parameters = svm_mod.from_scalars(A=0.5, Q=1.0, R=2.0,
+                                        dtype=jnp.float64)
+    return s
+
+
+def test_multichain_trace_shape_and_divergence(svm_obs):
+    s = _sampler(svm_obs)
+    trace = s.fit_scan("SGLD", num_iters=4, epsilon=0.05, num_chains=3,
+                       **KW)
+    assert trace.A.shape == (3, 4, 1, 1)
+    # independent noise keys: chains diverge from the shared init
+    final = np.asarray(trace.A[:, -1, 0, 0])
+    assert len(np.unique(final)) == 3
+    # sampler now holds the stacked chains
+    assert s.parameters.A.shape == (3, 1, 1)
+    assert s._num_chains == 3
+
+
+def test_multichain_continuation_and_select(svm_obs):
+    s = _sampler(svm_obs)
+    t1 = s.fit_scan("SGLD", num_iters=2, epsilon=0.05, num_chains=2, **KW)
+    stacked = np.asarray(s.parameters.A)
+    t2 = s.fit_scan("SGLD", num_iters=2, epsilon=0.05, num_chains=2, **KW)
+    # second call continued the stacked state, not a re-broadcast
+    assert t2.A.shape == (2, 2, 1, 1)
+    assert not np.allclose(np.asarray(t2.A[:, 0]), stacked[:, None][: , 0])
+    p = s.select_chain(1)
+    assert p.A.shape == (1, 1)
+    assert s._num_chains is None
+    # mismatched re-fit without select_chain raises
+    s2 = _sampler(svm_obs)
+    s2.fit_scan("SGLD", num_iters=1, epsilon=0.05, num_chains=2, **KW)
+    with pytest.raises(ValueError, match="stacked chains"):
+        s2.fit_scan("SGLD", num_iters=1, epsilon=0.05, num_chains=3, **KW)
+
+
+def test_multichain_prior_init_distinct(svm_obs):
+    s = _sampler(svm_obs)
+    s.fit_scan("SGLD", num_iters=1, epsilon=0.01, num_chains=4,
+               chain_init="prior", **KW)
+    a0 = np.asarray(s.parameters.A[:, 0, 0])
+    assert len(np.unique(a0)) == 4
+    assert s.parameters.A.dtype == jnp.float64
+
+
+def test_multichain_explicit_init_pytree(svm_obs):
+    s = _sampler(svm_obs)
+    inits = jax.tree_util.tree_map(
+        lambda x: jnp.stack([x, x + 0.01]), s.parameters)
+    trace = s.fit_scan("SGLD", num_iters=2, epsilon=0.0, num_chains=2,
+                       chain_init=inits, **KW)
+    assert trace.A.shape == (2, 2, 1, 1)
+    with pytest.raises(ValueError, match="leading axis"):
+        s2 = _sampler(svm_obs)
+        s2.fit_scan("SGLD", num_iters=1, num_chains=3, chain_init=inits,
+                    **KW)
+
+
+def test_record_thinning_and_none(svm_obs):
+    s = _sampler(svm_obs)
+    trace = s.fit_scan("SGLD", num_iters=6, epsilon=0.05, num_chains=2,
+                       record=3, **KW)
+    assert trace.A.shape == (2, 2, 1, 1)
+    trace, aux = s.fit_scan("SGLD", num_iters=4, epsilon=0.05,
+                            num_chains=2, record="none", return_aux=True,
+                            **KW)
+    assert trace is None
+    assert aux.shape == (2, 4)
+    with pytest.raises(ValueError, match="divide"):
+        s.fit_scan("SGLD", num_iters=5, num_chains=2, record=3, **KW)
+
+
+def test_record_thinning_single_chain(svm_obs):
+    s = _sampler(svm_obs)
+    trace = s.fit_scan("SGLD", num_iters=6, epsilon=0.05, record=2, **KW)
+    assert trace.A.shape == (3, 1, 1)
+
+
+def test_fit_scan_chunked_multichain(svm_obs):
+    s = _sampler(svm_obs)
+    trace = s.fit_scan_chunked("SGLD", num_iters=6, chunk_iters=2,
+                               epsilon=0.05, num_chains=2, **KW)
+    assert isinstance(trace.A, np.ndarray)
+    assert trace.A.shape == (2, 6, 1, 1)
+    trace = s.select_chain(0)
+
+
+def test_multichain_adagrad(svm_obs):
+    s = _sampler(svm_obs)
+    trace = s.fit_scan("ADAGRAD", num_iters=3, epsilon=0.05, num_chains=2,
+                       **KW)
+    assert trace.A.shape == (2, 3, 1, 1)
+    # moment state is stacked per chain and carried across calls
+    lead = jax.tree_util.tree_leaves(s._adagrad_state)[0]
+    assert lead.shape[0] == 2
+    s.fit_scan("ADAGRAD", num_iters=2, epsilon=0.05, num_chains=2, **KW)
+
+
+def test_multichain_marginal_kind_lgssm():
+    from sgmcmc_tpu.models import lgssm as lgssm_mod
+    true = lgssm_mod.from_matrices(A=[[0.9]], C=[[1.0]], Q=[[0.5]],
+                                   R=[[1.0]], dtype=jnp.float64)
+    ys, _ = lgssm_mod.generate_data(jax.random.PRNGKey(2), true, 80)
+    s = LGSSMSampler(observations=ys, seed=3)
+    trace = s.fit_scan("SGLD", num_iters=3, epsilon=0.05, num_chains=2,
+                       kind="marginal", subsequence_length=16,
+                       buffer_length=2)
+    assert trace.A.shape == (2, 3, 1, 1)
+    assert np.all(np.isfinite(np.asarray(trace.A)))
+
+
+def test_multichain_pooled_posterior_statistics(svm_obs):
+    """End-to-end: pooled multi-chain trace feeds the convergence
+    diagnostics (the reference_comparison.py protocol)."""
+    from sgmcmc_tpu.metrics.convergence import convergence_summary
+    s = _sampler(svm_obs)
+    trace = s.fit_scan("SGLD", num_iters=40, epsilon=0.05, num_chains=4,
+                       **KW)
+    rows = convergence_summary(jax.device_get(trace), burn_frac=0.5)
+    assert all(np.isfinite(r["rhat"]) for r in rows)
+    assert all(r["num_chains"] == 4 and r["num_iters"] == 20 for r in rows)

@@ -544,3 +544,50 @@ def test_two_process_cross_host_particle_sharding_agrees():
     """)
     a, b = _run_two_process(child, r"ptotal (-?\d+\.\d+)")
     assert a == b and np.isfinite(a), (a, b)
+
+
+def test_sharded_path_forwards_fused_kernel_config(monkeypatch):
+    """990cf56 regression class: `make_distributed_sgld_step` must forward
+    the PFScoreConfig's rng / ess_threshold / qp_merge / pipeline into the
+    fused Pallas kernel — a silently-dropped `rng='kernel'` once streamed
+    host normals and cost 3.5% on hardware (BENCH_NOTES).  Structural
+    check on the CPU mesh; the execution half runs in the RUN_TPU lane
+    (tests_tpu/test_tpu_hardware.py)."""
+    from sgmcmc_tpu.ops.pallas import fused_pf
+
+    captured = {}
+    orig = fused_pf.fused_pf_score
+
+    def spy(*args, **kw):
+        for k in ("rng", "ess_threshold", "qp_merge", "pipeline"):
+            captured[k] = kw.get(k)
+        # execute with host RNG (the in-kernel TPU PRNG does not exist on
+        # the CPU interpret path); the assertion is about what the
+        # sharded builder FORWARDED, which is already captured
+        kw["rng"] = "host"
+        return orig(*args, **kw)
+
+    monkeypatch.setattr(fused_pf, "fused_pf_score", spy)
+    T = 64
+    true = svm.from_scalars(A=0.9, Q=0.5, R=1.0, dtype=jnp.float64)
+    ys, _ = svm.generate_data(jax.random.PRNGKey(0), true, T)
+    prior = svm.default_prior(dtype=jnp.float64)
+    cfg = sgmcmc.PFScoreConfig(
+        n_particles=64, subsequence_length=16, buffer_length=4,
+        smoother="poyiadjis_N", resampler="systematic", rng="kernel",
+        ess_threshold=0.5, qp_merge=2, pipeline=True,
+        resample_mode="fused")    # force the fused path off-TPU (interpret)
+    mesh1 = sharding.make_mesh(n_chain_devices=2, n_particle_devices=1)
+    step = training.make_distributed_sgld_step(
+        svm.KERNEL, svm.grad_statistic, svm.STATISTIC_DIM, svm.unpack_grad,
+        lambda p: svm.grad_logprior(prior, p), cfg, T, mesh1, epsilon=0.05,
+        prior_mean_var_fn=lambda p: (0.0, svm.stationary_variance(p)),
+        project_fn=svm.project_parameters, fused_model=svm.FUSED)
+    keys = jax.random.split(jax.random.PRNGKey(1), 2)
+    params0 = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (2,) + x.shape),
+        svm.from_scalars(A=0.5, Q=1.0, R=2.0, dtype=jnp.float64))
+    new, ll = jax.jit(step)(keys, params0, ys)
+    assert np.all(np.isfinite(np.asarray(ll)))
+    assert captured == dict(rng="kernel", ess_threshold=0.5, qp_merge=2,
+                            pipeline=True), captured
