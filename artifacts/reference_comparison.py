@@ -139,78 +139,57 @@ def run_reference_garch(observations, seconds, seed=2, epsilon=0.1, S=40,
 def run_ours_eurus_multichain(observations, model, steps, n_chains,
                               seed=1, N=1000):
     """Pooled posterior from many independent prior-initialized SGLD
-    chains (vmapped over the chip) at the reference demo protocol.
-    Pooling across chains controls the Monte-Carlo error of the posterior
-    mean (across-chain se ~ sd/sqrt(n_chains)) where a single eps=1e-3
-    chain's integrated autocorrelation time is of order its length —
-    see artifacts/eurus_garch_validation.md."""
+    chains at the reference demo protocol, through the PUBLIC
+    `Sampler.fit_scan_chunked(num_chains=...)` surface (r4: previously
+    hand-wired vmap plumbing).  Pooling across chains controls the
+    Monte-Carlo error of the posterior mean (across-chain se ~
+    sd/sqrt(n_chains)) where a single eps=1e-3 chain's integrated
+    autocorrelation time is of order its length — see
+    artifacts/eurus_garch_validation.md.  Chain-structured [C, n] arrays
+    are returned so the comparator computes multi-chain R-hat/ESS."""
     import jax
     import jax.numpy as jnp
-    from sgmcmc_tpu.inference import sgmcmc
-    from sgmcmc_tpu.models import garch as garch_mod
-    from sgmcmc_tpu.models import svm as svm_mod
+    from sgmcmc_tpu.inference.samplers import GARCHSampler, SVMSampler
 
-    m = svm_mod if model == "svm" else garch_mod
+    m_name = model
+    cls = SVMSampler if model == "svm" else GARCHSampler
     obs = jnp.asarray(observations, jnp.float32)
-    T = obs.shape[0]
-    cfg = sgmcmc.PFScoreConfig(
-        n_particles=N, subsequence_length=16, buffer_length=4,
-        smoother="poyiadjis_N", resampler="systematic",
-        resample_mode="auto",
-        rng="kernel" if jax.default_backend() == "tpu" else "host")
-    score = sgmcmc.make_pf_score_fn(
-        m.get_kernel(None), m.grad_statistic, m.STATISTIC_DIM,
-        m.unpack_grad, cfg, T,
-        prior_mean_var_fn=lambda p: (0.0, m.stationary_variance(p)),
-        fused_model=m.get_fused(None))
-    prior = m.default_prior()
-    gf = sgmcmc.make_noisy_grad_fn(
-        score, lambda p: m.grad_logprior(prior, p), T)
+    s = cls(observations=obs, seed=seed)
+    prior, mdl = s.prior, s.model
+    # explicit stacked prior inits so the reference leg can start from
+    # chain 0's exact initialization
+    p0s = jax.jit(jax.vmap(lambda k: mdl.project_parameters(
+        mdl.sample_prior(prior, k))))(
+        jax.random.split(jax.random.PRNGKey(seed + 1), n_chains))
+    p0s = jax.tree_util.tree_map(lambda x: x.astype(jnp.float32), p0s)
+    s.parameters = jax.tree_util.tree_map(lambda x: x[0], p0s)
 
+    thin = 10          # pooled moments don't need every autocorrelated step
+    t0 = time.time()
     # chunked executions: one multi-minute XLA program kills the remote
     # TPU worker (CLAUDE.md watchdog note) — 128 chains x 10k steps
     # measured ~60 s/chunk, safely under the ~5 min limit
-    chunk = 10000
-
-    def chain_chunk(key, p0):
-        step = lambda k, p, o: sgmcmc.sgld_step(k, p, o, gf, 0.001, T)
-        return sgmcmc.fit(key, p0, obs, step, chunk,
-                          project_fn=m.project_parameters)
-
-    fit_chunk = jax.jit(jax.vmap(chain_chunk))
-    keys = jax.random.split(jax.random.PRNGKey(seed), n_chains)
-    p0s = jax.vmap(lambda k: m.project_parameters(
-        m.sample_prior(prior, k)))(
-        jax.random.split(jax.random.PRNGKey(seed + 1), n_chains))
-    p0s = jax.tree_util.tree_map(lambda x: x.astype(jnp.float32), p0s)
-    params = p0s
-    t0 = time.time()
-    chunks = []
-    done = 0
-    thin = 10          # pooled moments don't need every autocorrelated step
-    while done < steps:
-        ck = jax.vmap(lambda k: jax.random.fold_in(k, done))(keys)
-        params, trace, _ = fit_chunk(ck, params)
-        chunks.append(jax.device_get(
-            jax.tree_util.tree_map(lambda x: x[:, ::thin], trace)))
-        done += chunk
-    trace = jax.tree_util.tree_map(
-        lambda *xs: np.concatenate(xs, axis=1), *chunks)
+    trace = s.fit_scan_chunked(
+        "SGLD", num_iters=steps, chunk_iters=10000, epsilon=0.001,
+        num_chains=n_chains, chain_init=p0s, record=thin,
+        N=N, subsequence_length=16, buffer_length=4, pf="poyiadjis_N",
+        resampler="systematic", resample_mode="auto",
+        rng="kernel" if jax.default_backend() == "tpu" else "host")
     burn = (steps // thin) // 2
 
-    def pooled(name, idx=(slice(None), slice(burn, None), 0)):
-        return np.asarray(getattr(trace, name))[idx].ravel()
+    def chains(name):          # [C, n_post] chain-structured coordinates
+        return np.asarray(getattr(trace, name))[:, burn:, 0]
 
-    if model == "svm":
+    if m_name == "svm":
         out = dict(
-            phi=np.asarray(trace.A)[:, burn:, 0, 0].ravel(),
-            sigma=1.0 / np.abs(pooled("LQinv_vec")),
-            tau=1.0 / np.abs(pooled("LRinv_vec")))
+            phi=np.asarray(trace.A)[:, burn:, 0, 0],
+            sigma=1.0 / np.abs(chains("LQinv_vec")),
+            tau=1.0 / np.abs(chains("LRinv_vec")))
     else:
-        out = dict(log_mu=pooled("log_mu"),
-                   logit_phi=pooled("logit_phi"),
-                   logit_lambduh=pooled("logit_lambduh"),
-                   tau=1.0 / np.abs(pooled("LRinv_vec")))
+        out = dict(log_mu=chains("log_mu"),
+                   logit_phi=chains("logit_phi"),
+                   logit_lambduh=chains("logit_lambduh"),
+                   tau=1.0 / np.abs(chains("LRinv_vec")))
     init0 = jax.tree_util.tree_map(lambda x: np.asarray(x[0]), p0s)
     out.update(steps=n_chains * steps, seconds=time.time() - t0,
                init=init0)
@@ -319,30 +298,9 @@ def run_reference_eurus(observations, model, seconds, init, seed=2, N=1000):
     return out
 
 
-def compare_table(title, names, ours, ref, truth=None):
-    lines = [f"## {title}", "",
-             f"- ours: {ours['steps']} steps in {ours['seconds']:.1f}s"
-             f" ({ours['steps']/max(ours['seconds'],1e-9):.0f} steps/s,"
-             f" 1 chain)",
-             f"- reference: {ref['steps']} steps in {ref['seconds']:.1f}s"
-             f" ({ref['steps']/max(ref['seconds'],1e-9):.1f} steps/s)",
-             ""]
-    head = "| param |" + (" truth |" if truth else "") + \
-        " ours mean+-sd | reference mean+-sd | |diff|/sd |"
-    lines += [head, "|---|" + ("---|" if truth else "") + "---|---|---|"]
-    max_z = 0.0
-    for p in names:
-        mo, so = ours[p].mean(), ours[p].std()
-        mr, sr = ref[p].mean(), ref[p].std()
-        pooled = max((so ** 2 + sr ** 2) ** 0.5, 1e-6)
-        z = abs(mo - mr) / pooled
-        max_z = max(max_z, z)
-        t = f" {truth[p]:.3f} |" if truth else ""
-        lines.append(f"| {p} |{t} {mo:.3f}+-{so:.3f} "
-                     f"| {mr:.3f}+-{sr:.3f} | {z:.2f} |")
-    lines += ["", f"Max |mean difference| / pooled posterior sd = "
-              f"{max_z:.2f}.", ""]
-    return lines, max_z
+# z +- se(z) with ESS error bars, and R-hat gating (a leg with unmixed
+# chains on either side is refused a PASS) — shared with exact_parity.py
+from parity_common import compare_table  # noqa: E402
 
 
 def main():
@@ -450,15 +408,20 @@ def main():
         raise SystemExit(f"no legs ran — unknown --legs {args.legs!r}? "
                          f"(choose from: svm, garch, eurus, eurus_svm, "
                          f"eurus_garch)")
-    if any(np.isnan(v) for v in zs.values()):
+    if any(np.isnan(v["max_z"]) for v in zs.values()):
         raise SystemExit(
             f"nan z-scores {zs} — a reference leg completed too few steps "
             f"within its budget; raise --ref_seconds")
-    worst = max(zs.values())
+    worst = max(v["max_z"] for v in zs.values())
+    all_pass = all(v["passed"] for v in zs.values())
     lines += [f"**Overall: max |Δmean|/pooled-sd across all legs = "
-              f"{worst:.2f}** ({'PASS' if worst < 1 else 'FAIL'} at the "
-              f"<1 north-star criterion).  Legs: "
-              + ", ".join(f"{k}={v:.2f}" for k, v in zs.items()) + "."]
+              f"{worst:.2f}** ({'PASS' if all_pass else 'NOT PASSED'} at "
+              f"the <1 north-star criterion with split-R-hat <= 1.1 "
+              f"mixing gates).  Legs: "
+              + ", ".join(f"{k}: z={v['max_z']:.2f}+-{v['se']:.2f} "
+                          f"rhat={v['max_rhat']:.2f} "
+                          f"{'PASS' if v['passed'] else 'no'}"
+                          for k, v in zs.items()) + "."]
     out = "\n".join(lines)
     print(out)
     with open(os.path.join(os.path.dirname(__file__), args.out), "w") as f:
