@@ -30,7 +30,45 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import numpy as np
 
 
-def run_ours(observations, steps, seed=1):
+def _stacked_init(sampler, fixed_init, n_chains, seed):
+    """[C, ...] init: chain 0 at the leg's fixed init (the reference
+    chain's exact starting point), chains 1..C-1 overdispersed prior
+    draws so the multi-chain split-R-hat gate sees distinct basins."""
+    import jax
+    import jax.numpy as jnp
+
+    mdl, prior = sampler.model, sampler.prior
+    p0s = jax.jit(jax.vmap(lambda k: mdl.project_parameters(
+        mdl.sample_prior(prior, k))))(
+        jax.random.split(jax.random.PRNGKey(seed + 101), n_chains))
+    fixed = jax.tree_util.tree_map(
+        lambda x, like: jnp.asarray(x, like.dtype), fixed_init, p0s)
+    return jax.tree_util.tree_map(
+        lambda f, d: d.at[0].set(f) if hasattr(d, "at")
+        else np.concatenate([f[None], d[1:]]), fixed, p0s)
+
+
+def _ours_fit(sampler, steps, n_chains, **fit_kw):
+    """Single-chain ([steps, ...]) or pooled multi-chain
+    ([C, steps, ...]) trace through the public fit_scan surface."""
+    if n_chains <= 1:
+        return sampler.fit_scan("SGLD", num_iters=steps, **fit_kw)
+    init = _stacked_init(sampler, sampler.parameters, n_chains, seed=7)
+    return sampler.fit_scan_chunked(
+        "SGLD", num_iters=steps, chunk_iters=5000,
+        num_chains=n_chains, chain_init=init, **fit_kw)
+
+
+def _coord(trace, n_chains, reader):
+    """Post-burn-in coordinate array: [n_post] or chain-structured
+    [C, n_post] (so the comparator computes multi-chain R-hat)."""
+    arr = np.asarray(trace)
+    out = reader(arr) if reader else arr
+    n = out.shape[-1]
+    return out[..., n // 2:]
+
+
+def run_ours(observations, steps, seed=1, n_chains=1):
     import jax
     from sgmcmc_tpu.inference.samplers import SVMSampler
     from sgmcmc_tpu.models import svm
@@ -38,17 +76,38 @@ def run_ours(observations, steps, seed=1):
     s = SVMSampler(observations=observations, seed=seed)
     s.parameters = svm.from_scalars(A=0.5, Q=1.0, R=2.0)
     t0 = time.time()
-    trace = s.fit_scan("SGLD", num_iters=steps, epsilon=0.1, N=1000,
-                       subsequence_length=40, buffer_length=10,
-                       pf="poyiadjis_N", resampler="systematic",
-                       resample_mode="auto")
+    trace = _ours_fit(s, steps, n_chains, epsilon=0.1, N=1000,
+                      subsequence_length=40, buffer_length=10,
+                      pf="poyiadjis_N", resampler="systematic",
+                      resample_mode="auto")
     elapsed = time.time() - t0
-    burn = steps // 2
-    A = np.asarray(trace.A)[burn:, 0, 0]
-    lq = np.abs(np.asarray(trace.LQinv_vec)[burn:, 0])
-    lr = np.abs(np.asarray(trace.LRinv_vec)[burn:, 0])
+    A = _coord(trace.A, n_chains, lambda a: a[..., 0, 0])
+    lq = _coord(trace.LQinv_vec, n_chains, lambda a: np.abs(a[..., 0]))
+    lr = _coord(trace.LRinv_vec, n_chains, lambda a: np.abs(a[..., 0]))
     return dict(phi=A, sigma=1.0 / lq, tau=1.0 / lr,
-                steps=steps, seconds=elapsed)
+                steps=steps * n_chains, seconds=elapsed)
+
+
+def _pool_ref_chains(one_chain_fn, observations, seconds, seed, n_chains,
+                     max_workers=2):
+    """Pool n_chains independent reference chains (ProcessPoolExecutor —
+    the reference is single-threaded NumPy) into chain-structured [C, n]
+    arrays truncated to the shortest chain, so the comparator computes a
+    true multi-chain split-R-hat on the reference side too."""
+    if n_chains <= 1:
+        return one_chain_fn(observations, seconds, seed=seed)
+    from concurrent.futures import ProcessPoolExecutor
+    t0 = time.time()
+    with ProcessPoolExecutor(max_workers=max_workers) as ex:
+        outs = list(ex.map(one_chain_fn, [observations] * n_chains,
+                           [seconds] * n_chains,
+                           [seed + 17 * c for c in range(n_chains)]))
+    n = min(o["steps"] - o["steps"] // 2 for o in outs)  # post-burn length
+    pooled = {k: np.stack([o[k][-n:] for o in outs])
+              for k in outs[0] if k not in ("steps", "seconds")}
+    pooled.update(steps=sum(o["steps"] for o in outs),
+                  seconds=time.time() - t0)
+    return pooled
 
 
 def run_reference(observations, seconds, seed=2):
@@ -81,7 +140,7 @@ def run_reference(observations, seconds, seed=2):
 
 
 def run_ours_garch(observations, steps, seed=1, epsilon=0.1, S=40, B=10,
-                   N=1000):
+                   N=1000, n_chains=1):
     import jax
     from sgmcmc_tpu.inference.samplers import GARCHSampler
     from sgmcmc_tpu.models import garch
@@ -90,17 +149,18 @@ def run_ours_garch(observations, steps, seed=1, epsilon=0.1, S=40, B=10,
     s.parameters = garch.from_alpha_beta_gamma(alpha=0.2, beta=0.2,
                                                gamma=0.2, R=1.0)
     t0 = time.time()
-    trace = s.fit_scan("SGLD", num_iters=steps, epsilon=epsilon, N=N,
-                       subsequence_length=S, buffer_length=B,
-                       pf="poyiadjis_N", resampler="systematic",
-                       resample_mode="auto")
+    trace = _ours_fit(s, steps, n_chains, epsilon=epsilon, N=N,
+                      subsequence_length=S, buffer_length=B,
+                      pf="poyiadjis_N", resampler="systematic",
+                      resample_mode="auto")
     elapsed = time.time() - t0
-    burn = steps // 2
-    lr = np.abs(np.asarray(trace.LRinv_vec)[burn:, 0])
-    return dict(log_mu=np.asarray(trace.log_mu)[burn:, 0],
-                logit_phi=np.asarray(trace.logit_phi)[burn:, 0],
-                logit_lambduh=np.asarray(trace.logit_lambduh)[burn:, 0],
-                tau=1.0 / lr, steps=steps, seconds=elapsed)
+    lr = _coord(trace.LRinv_vec, n_chains, lambda a: np.abs(a[..., 0]))
+    return dict(
+        log_mu=_coord(trace.log_mu, n_chains, lambda a: a[..., 0]),
+        logit_phi=_coord(trace.logit_phi, n_chains, lambda a: a[..., 0]),
+        logit_lambduh=_coord(trace.logit_lambduh, n_chains,
+                             lambda a: a[..., 0]),
+        tau=1.0 / lr, steps=steps * n_chains, seconds=elapsed)
 
 
 def run_reference_garch(observations, seconds, seed=2, epsilon=0.1, S=40,
@@ -324,10 +384,16 @@ def main():
     ap.add_argument("--out", default="reference_comparison.md",
                     help="output markdown filename (relative to artifacts/)")
     ap.add_argument("--ours_chains", type=int, default=1,
-                    help="eurus legs: pool this many independent vmapped "
-                         "SGLD chains on the ours side (posterior-mean MC "
-                         "error ~ sd/sqrt(chains); single reference-style "
-                         "chain when 1)")
+                    help="pool this many independent vmapped SGLD chains "
+                         "on the ours side (synthetic legs: chain 0 at "
+                         "the fixed init, rest overdispersed prior draws; "
+                         "posterior-mean MC error ~ sd/sqrt(chains); "
+                         "single reference-style chain when 1)")
+    ap.add_argument("--ref_chains", type=int, default=1,
+                    help="synthetic legs: pool this many independent "
+                         "reference chains (2 worker processes), each "
+                         "given --ref_seconds — enables a true multi-"
+                         "chain split-R-hat gate on the reference side")
     args = ap.parse_args()
 
     import jax
@@ -343,8 +409,9 @@ def main():
         from sgmcmc_tpu.models import svm
         true = svm.from_scalars(A=0.9, Q=0.5, R=1.0)
         ys, _ = svm.generate_data(jax.random.PRNGKey(0), true, args.T)
-        ours = run_ours(ys, args.ours_steps)
-        ref = run_reference(np.asarray(ys, np.float64), args.ref_seconds)
+        ours = run_ours(ys, args.ours_steps, n_chains=args.ours_chains)
+        ref = _pool_ref_chains(run_reference, np.asarray(ys, np.float64),
+                               args.ref_seconds, 2, args.ref_chains)
         sec, z = compare_table(
             f"Synthetic SVM (T={args.T}; eps=0.1 S=40 B=10 "
             f"Poyiadjis-O(N) N=1000)", ["phi", "sigma", "tau"], ours, ref,
@@ -357,9 +424,11 @@ def main():
         true_g = garch.from_alpha_beta_gamma(alpha=0.1, beta=0.4,
                                              gamma=0.3, R=0.5)
         ys_g, _ = garch.generate_data(jax.random.PRNGKey(1), true_g, args.T)
-        ours = run_ours_garch(ys_g, args.ours_steps)
-        ref = run_reference_garch(np.asarray(ys_g, np.float64),
-                                  args.ref_seconds)
+        ours = run_ours_garch(ys_g, args.ours_steps,
+                              n_chains=args.ours_chains)
+        ref = _pool_ref_chains(run_reference_garch,
+                               np.asarray(ys_g, np.float64),
+                               args.ref_seconds, 2, args.ref_chains)
         truth_g = dict(
             log_mu=float(np.log(0.1 / (1 - 0.7))),
             logit_phi=float(np.log(0.7 / 0.3)),

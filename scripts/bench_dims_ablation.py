@@ -74,9 +74,8 @@ def real_bundle(name):
     if name == "lgssm":
         from sgmcmc_tpu.models import lgssm as m
         p = m.from_matrices(A=[[0.9]], C=[[1.0]], Q=[[0.5]], R=[[1.0]])
-        import numpy as np
-        return m.get_fused(None), p, float(
-            np.ravel(np.asarray(m.stationary_variance(p)))[0])
+        # fixed 10*I x0 prior (models/registry.py prior_mean_var)
+        return m.get_fused(None), p, 10.0
     raise ValueError(name)
 
 

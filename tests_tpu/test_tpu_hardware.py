@@ -55,18 +55,23 @@ def test_fused_vs_gather_statistical_agreement(name):
     ys, _ = m.generate_data(jax.random.PRNGKey(0), params, T)
     ys = jnp.asarray(ys, jnp.float32)
     w = jnp.ones((T,), jnp.float32)
-    pv = float(m.stationary_variance(params)) if name != "lgssm" else \
-        float(np.ravel(m.stationary_variance(params))[0])
+    # lgssm's x0 prior is the fixed 10*I of the registry convention
+    # (models/registry.py prior_mean_var); the nonlinear models use the
+    # stationary variance
+    pv = 10.0 if name == "lgssm" else float(m.stationary_variance(params))
 
     keys = jax.random.split(jax.random.PRNGKey(1), R)
     ms_f, ll_f = jax.jit(jax.vmap(lambda k: fused_pf_score(
         fused, k, params, ys, w, N, 0.0, pv)))(keys)
     ms_f, ll_f = np.asarray(ms_f), np.asarray(ll_f)
 
+    stat_dim = (m.statistic_dim(1, 1) if name == "lgssm"
+                else m.STATISTIC_DIM)
+
     def unfused(k):
         o = buffered.run_buffered_pf(
             kernel, m.grad_statistic, params, ys, key=k, n_particles=N,
-            statistic_dim=m.STATISTIC_DIM, smoother="poyiadjis_N",
+            statistic_dim=stat_dim, smoother="poyiadjis_N",
             resampler="systematic", resample_mode="pallas2",
             prior_mean=0.0, prior_var=pv)
         return o.mean_statistic, o.loglikelihood
