@@ -36,7 +36,7 @@ def make_dummy(D, H, Z):
     """Trivial-elementwise-op bundle at controlled dims (the r2 'dummy
     ops' ablation, now per-dims).  4 packed params."""
     def pack(params):
-        return list(params)
+        return jnp.stack(list(params))
 
     def propose(pvec, z, x, y):
         return [x[d] * pvec[0] + z[d % Z] * pvec[1] for d in range(D)]

@@ -61,10 +61,14 @@ def make_distributed_sgld_step(
         warnings.warn(
             f"island_fused with island size {n_local} (< 256): the island "
             f"estimator's smoother bias is the Poyiadjis bias at "
-            f"N = island size, which grows as islands shrink (measured "
-            f"curve: scripts/island_bias_sweep.json; ~1/N decay).  Use "
-            f">= 256 particles per device, or disable island_fused for "
-            f"the unbiased-at-full-N global-resampling estimator.",
+            f"N = island size, which grows as islands shrink (~1/N decay; "
+            f"per-model measured curves in scripts/island_bias_sweep.json "
+            f"— LGSSM exact-Kalman oracle: >= 256 stays under the "
+            f"reference's own Nemeth-lambda=0.95 trade, >= 512 ~ global "
+            f"resampling; SVM N=2^20 oracle: >= 128 under the Nemeth "
+            f"trade, >= 256 ~ global resampling).  Use >= 256 particles "
+            f"per device, or disable island_fused for the "
+            f"unbiased-at-full-N global-resampling estimator.",
             stacklevel=2)
     fused_interpret = (use_fused or use_island) and \
         jax.default_backend() != "tpu"
