@@ -566,6 +566,27 @@ def do_fit(args, options):
     ckpt.save_dataframe(os.path.join(
         out_dir, f"{options['experiment_id']}_metrics.csv"),
         evaluator.get_metrics())
+    if len(parameters_list) >= 9:
+        # single-chain split-chain diagnostics (split-R-hat detects the
+        # mid-transient failure mode of eurus_garch_validation.md even
+        # without parallel chains); the [1, N, ...] stacking matches the
+        # multichain CSV schema so --process_out aggregates both
+        from ..metrics.convergence import convergence_summary
+        stacked = jax.tree_util.tree_map(
+            lambda *xs: np.stack(xs)[None], *[
+                ckpt.tree_to_numpy(q) for q in parameters_list[1:]])
+        rows = convergence_summary(stacked, burn_frac=0.5)
+        for r in rows:
+            r["experiment_id"] = options["experiment_id"]
+        ckpt.save_dataframe(os.path.join(
+            out_dir, f"{options['experiment_id']}_convergence.csv"),
+            pd.DataFrame(rows))
+        worst = max(r["rhat"] for r in rows)
+        if worst > 1.1:
+            logger.warning(
+                "fit %s: max split-R-hat %.3f > 1.1 — the chain is not "
+                "stationary at this budget (see *_convergence.csv)",
+                options["experiment_id"], worst)
     logger.info("fit %s: %d iterations", options["experiment_id"], it)
 
 

@@ -43,6 +43,15 @@ def test_full_pipeline(exp_dir):
         trace_path = os.path.join(exp_dir, "out", "fit",
                                   f"{o['experiment_id']}_parameters.p")
         assert os.path.exists(trace_path)
+    # single-chain fits emit split-chain convergence rows once the trace
+    # is long enough (>= 8 recorded iterates; the first option's budget
+    # is compile-dominated, the second runs warm-cache)
+    o = options_list[-1]
+    conv = pd.read_csv(os.path.join(
+        exp_dir, "out", "fit", f"{o['experiment_id']}_convergence.csv"))
+    assert {"variable", "rhat", "ess", "iact"} <= set(conv.columns)
+    assert np.all(np.isfinite(conv["rhat"]))
+    assert (conv["num_chains"] == 1).all()
 
     driver.do_eval(args, options_list[0], "half_avg_train")
     eval_path = os.path.join(exp_dir, "out", "eval",
