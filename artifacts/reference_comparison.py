@@ -33,19 +33,20 @@ import numpy as np
 def _stacked_init(sampler, fixed_init, n_chains, seed):
     """[C, ...] init: chain 0 at the leg's fixed init (the reference
     chain's exact starting point), chains 1..C-1 overdispersed prior
-    draws so the multi-chain split-R-hat gate sees distinct basins."""
+    draws so the multi-chain split-R-hat gate sees distinct basins.
+
+    Draws via the sampler's own chain-init plumbing, which samples the
+    prior on the host CPU backend — jitting gamma/Wishart draws on the
+    tunneled TPU costs minutes of compile (CLAUDE.md)."""
     import jax
     import jax.numpy as jnp
 
-    mdl, prior = sampler.model, sampler.prior
-    p0s = jax.jit(jax.vmap(lambda k: mdl.project_parameters(
-        mdl.sample_prior(prior, k))))(
-        jax.random.split(jax.random.PRNGKey(seed + 101), n_chains))
+    p0s = sampler._chain_init_params(n_chains, "prior")
+    sampler._num_chains = None     # only wanted the stacked draws
     fixed = jax.tree_util.tree_map(
         lambda x, like: jnp.asarray(x, like.dtype), fixed_init, p0s)
     return jax.tree_util.tree_map(
-        lambda f, d: d.at[0].set(f) if hasattr(d, "at")
-        else np.concatenate([f[None], d[1:]]), fixed, p0s)
+        lambda f, d: d.at[0].set(f), fixed, p0s)
 
 
 def _ours_fit(sampler, steps, n_chains, **fit_kw):
