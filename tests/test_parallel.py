@@ -352,17 +352,25 @@ def test_island_bias_curve_artifact():
                         "island_bias_sweep.json")
     with open(path) as f:
         data = json.load(f)
-    rows = {(r["label"], r["N"]): r for r in data["rows"]}
-    island = sorted((n, r["max_abs_bias"]) for (lbl, n), r in rows.items()
-                    if lbl.startswith("island"))
-    assert len(island) >= 4
-    # monotone decay across the sweep (allow small non-monotone jitter)
-    sizes, biases = zip(*island)
-    assert biases[-1] < 0.25 * biases[0], island
-    assert all(b2 < b1 * 1.25 for b1, b2 in zip(biases, biases[1:])), island
-    nemeth = rows[("nemeth lambda=0.95 (gather)", 1024)]["max_abs_bias"]
-    bias_256 = dict(island)[256]
-    assert bias_256 <= nemeth * 1.1, (bias_256, nemeth)
+    if "rows" in data:          # legacy flat (lgssm-only) layout
+        data = {"lgssm": data}
+    assert "lgssm" in data      # the r4 layout is one entry per model
+    for model, result in data.items():
+        rows = {(r["label"], r["N"]): r for r in result["rows"]}
+        island = sorted((n, r["max_abs_bias"])
+                        for (lbl, n), r in rows.items()
+                        if lbl.startswith("island"))
+        assert len(island) >= 4, model
+        # monotone decay across the sweep; the large-island tail sits at
+        # the replicate-noise floor (se ~ bias there), so allow 1.5x
+        # point-to-point jitter
+        sizes, biases = zip(*island)
+        assert biases[-1] < 0.25 * biases[0], (model, island)
+        assert all(b2 < b1 * 1.5 for b1, b2 in zip(biases, biases[1:])), \
+            (model, island)
+        nemeth = rows[("nemeth lambda=0.95 (gather)", 1024)]["max_abs_bias"]
+        bias_256 = dict(island)[256]
+        assert bias_256 <= nemeth * 1.1, (model, bias_256, nemeth)
 
 
 def test_island_fused_small_island_warns(mesh):
