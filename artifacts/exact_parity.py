@@ -148,15 +148,32 @@ def ref_loop(sampler, reader, step, n_iters=None, seconds=None):
     return out
 
 
-def ours_fit_scan(sampler, reader, n_iters, **kw):
-    """Whole-loop-compiled marginal SGLD; read coordinates off the trace."""
+def ours_fit_scan(sampler, reader, n_iters, n_chains=1, **kw):
+    """Whole-loop-compiled marginal SGLD; read coordinates off the trace.
+
+    ``n_chains > 1`` runs C vmapped chains (public fit_scan surface) and
+    returns chain-structured [C, n_post] coordinate arrays — the
+    single-chain split-R-hat is noisy right around the 1.1 gate, true
+    multi-chain R-hat is not."""
     from sgmcmc_tpu.io.checkpoint import unstack_trace
     t0 = time.time()
-    trace = sampler.fit_scan("SGLD", num_iters=n_iters, **kw)
-    params_list = unstack_trace(jax.device_get(trace))
-    rows = [reader(p) for p in params_list]
-    out = collect(rows)
-    out.update(steps=n_iters, seconds=time.time() - t0)
+    if n_chains == 1:
+        trace = sampler.fit_scan("SGLD", num_iters=n_iters, **kw)
+        rows = [reader(p) for p in unstack_trace(jax.device_get(trace))]
+        out = collect(rows)
+        out.update(steps=n_iters, seconds=time.time() - t0)
+        return out
+    trace = sampler.fit_scan("SGLD", num_iters=n_iters,
+                             num_chains=n_chains, chain_init="replicate",
+                             **kw)
+    host = jax.device_get(trace)
+    per_chain = []
+    for c in range(n_chains):
+        sub = jax.tree_util.tree_map(lambda x: x[c], host)
+        per_chain.append(collect([reader(p) for p in unstack_trace(sub)]))
+    out = {k: np.stack([pc[k] for pc in per_chain])
+           for k in per_chain[0] if k not in ("steps", "seconds")}
+    out.update(steps=n_iters * n_chains, seconds=time.time() - t0)
     return out
 
 
@@ -296,32 +313,50 @@ def _hmm_leg(args, model, iter_kind):
                                      sm.project_parameters()))
     else:
         ours = ours_fit_scan(s, reader, args.sgld_iters, epsilon=args.eps,
+                             n_chains=args.ours_chains,
                              kind="marginal", subsequence_length=16,
                              buffer_length=4)
     sys.path.insert(0, "/root/reference")
-    np.random.seed(2)
-    if model == "gauss_hmm":
-        from sgmcmc_ssm.models.gauss_hmm import \
-            GaussHMMSampler as RefSampler
-        r = RefSampler(num_states=2, m=1,
-                       observations=np.asarray(ys, np.float64))
-    else:
-        from sgmcmc_ssm.models.arphmm import ARPHMMSampler as RefSampler
-        r = RefSampler(num_states=2, m=1, p=1,
-                       observations=np.asarray(ys, np.float64))
-    r.parameters = ref_init(model)
+
+    def make_ref(seed):
+        np.random.seed(seed)
+        if model == "gauss_hmm":
+            from sgmcmc_ssm.models.gauss_hmm import \
+                GaussHMMSampler as RefSampler
+            r = RefSampler(num_states=2, m=1,
+                           observations=np.asarray(ys, np.float64))
+        else:
+            from sgmcmc_ssm.models.arphmm import \
+                ARPHMMSampler as RefSampler
+            r = RefSampler(num_states=2, m=1, p=1,
+                           observations=np.asarray(ys, np.float64))
+        r.parameters = ref_init(model)
+        return r
+
     if iter_kind == "gibbs":
-        ref = ref_loop(r, ref_reader,
+        ref = ref_loop(make_ref(2), ref_reader,
                        lambda sm: (sm.sample_gibbs(),
                                    sm.project_parameters()),
                        n_iters=args.gibbs_iters)
         how = ("conjugate Gibbs", "`{0}/sampler.py` sample_gibbs")
     else:
         kw = dict(subsequence_length=16, buffer_length=4, epsilon=args.eps)
-        ref = ref_loop(r, ref_reader,
-                       lambda sm: (sm.sample_sgld(**kw),
-                                   sm.project_parameters()),
-                       seconds=args.ref_seconds)
+        # independent reference chains sequentially (each gets the full
+        # --ref_seconds); chain-structured [C, n] arrays -> true
+        # multi-chain R-hat instead of noisy single-chain splits
+        refs = [ref_loop(make_ref(2 + 31 * c), ref_reader,
+                         lambda sm: (sm.sample_sgld(**kw),
+                                     sm.project_parameters()),
+                         seconds=args.ref_seconds)
+                for c in range(args.ref_chains)]
+        if args.ref_chains == 1:
+            ref = refs[0]
+        else:
+            n = min(r_[names[0]].shape[0] for r_ in refs)
+            ref = {k: np.stack([r_[k][-n:] for r_ in refs])
+                   for k in names}
+            ref.update(steps=sum(r_["steps"] for r_ in refs),
+                       seconds=sum(r_["seconds"] for r_ in refs))
         how = ("buffered marginal SGLD", "discrete messages both sides")
     return compare_table(
         f"{model} {how[0]} (T={T}; state-sorted coordinates)", names,
@@ -381,6 +416,12 @@ def main():
     ap.add_argument("--legs", nargs="+", default=sorted(LEGS))
     ap.add_argument("--gibbs_iters", type=int, default=3000)
     ap.add_argument("--sgld_iters", type=int, default=30000)
+    ap.add_argument("--ours_chains", type=int, default=1,
+                    help="SGLD legs: vmapped ours chains (fit_scan "
+                         "num_chains) for true multi-chain R-hat")
+    ap.add_argument("--ref_chains", type=int, default=1,
+                    help="SGLD legs: sequential independent reference "
+                         "chains, each given --ref_seconds")
     ap.add_argument("--eps", type=float, default=0.05)
     ap.add_argument("--ref_seconds", type=float, default=600.0)
     ap.add_argument("--out", default="exact_parity.md")
