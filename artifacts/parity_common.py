@@ -18,19 +18,25 @@ if importlib.util.find_spec("sgmcmc_tpu") is None:
 
 import numpy as np
 
-from sgmcmc_tpu.metrics.convergence import ess as _ess
-from sgmcmc_tpu.metrics.convergence import split_rhat as _split_rhat
+from sgmcmc_tpu.metrics.convergence import ess_bulk as _ess_bulk
+from sgmcmc_tpu.metrics.convergence import rhat_rank as _rhat_rank
 
 RHAT_LIMIT = 1.1
 
 
 def summarize(x):
-    """array [N] or [C, N] -> dict(mean, sd, ess, rhat, se_mean)."""
+    """array [N] or [C, N] -> dict(mean, sd, ess, rhat, se_mean).
+
+    The gate quantities are the Vehtari et al. 2021 robust estimators:
+    `rhat` is the rank-normalized + folded split-R-hat and `ess` the
+    rank-normalized bulk ESS — plain split-R-hat proved noisy right at
+    the 1.1 threshold on the logit-scale GARCH/HMM coordinates
+    (artifacts/exact_parity_sgld_long.md documented the re-rolls)."""
     x = np.asarray(x, np.float64)
     flat = x.ravel()
-    e = _ess(x)
+    e = _ess_bulk(x)
     return dict(mean=float(flat.mean()), sd=float(flat.std(ddof=1)),
-                ess=float(e), rhat=float(_split_rhat(x)),
+                ess=float(e), rhat=float(_rhat_rank(x)),
                 se_mean=float(flat.std(ddof=1) / np.sqrt(max(e, 1.0))))
 
 

@@ -6,12 +6,19 @@ GARCH head-to-head (artifacts/eurus_garch_validation.md) found the
 reference's single eps=1e-3 chain sitting mid-transient (logit_lambduh
 4.04 vs the converged 2.12) precisely because nothing measured mixing.
 These are the standard estimators (Gelman et al., BDA3 §11.4-11.5;
-Vehtari et al. 2021 split-chain form, without rank-normalization):
+Vehtari et al. 2021 split-chain form, including the rank-normalized and
+folded variants Stan ships):
 
   * `split_rhat`  — potential scale reduction over split chains,
+  * `rhat_rank`   — max of rank-normalized split-R-hat and folded
+    rank-normalized split-R-hat (Vehtari et al. 2021 eqs. 13-14) —
+    robust to heavy tails and detects variance non-stationarity that
+    plain split-R-hat misses; this is the parity-gate estimator,
   * `ess` / `iact` — effective sample size via per-chain FFT
     autocovariances combined across chains, Geyer initial-monotone-
     positive-sequence truncation,
+  * `ess_bulk` / `ess_tail` — rank-normalized ESS (bulk) and the min of
+    the 5%/95% quantile-indicator ESS (tail),
   * `convergence_summary` — tidy per-coordinate rows for a stacked
     multi-chain parameter trace (the `fit_scan(num_chains=C)` output).
 
@@ -60,6 +67,55 @@ def split_rhat(x, num_splits: int = 2) -> float:
     B_over_n = float(np.var(means, ddof=1))
     var_plus = (n - 1) / n * W + B_over_n
     return float(np.sqrt(var_plus / W))
+
+
+def rank_normalize(x) -> np.ndarray:
+    """Pooled fractional ranks -> normal scores (Vehtari et al. 2021 eq. 14).
+
+    ``x``: [N] or [C, N].  Ranks are computed over ALL chains pooled
+    (average ranks on ties), mapped through the Blom offset
+    z = Phi^-1((r - 3/8) / (S + 1/4)).  Shape-preserving.
+    """
+    from scipy.special import ndtri
+    from scipy.stats import rankdata
+
+    x = np.asarray(x, np.float64)
+    r = rankdata(x.ravel(), method="average").reshape(x.shape)
+    return ndtri((r - 0.375) / (x.size + 0.25))
+
+
+def _fold(x) -> np.ndarray:
+    """|x - median| — folding exposes chains that agree in location but
+    differ in spread (Vehtari et al. 2021 §4.2)."""
+    x = np.asarray(x, np.float64)
+    return np.abs(x - np.median(x))
+
+
+def rhat_rank(x, num_splits: int = 2) -> float:
+    """Rank-normalized + folded split-R-hat (Vehtari et al. 2021) — the
+    max of split-R-hat on the rank-normal scores of x and of |x - med|.
+
+    Robust to heavy tails / infinite variance (where plain split-R-hat is
+    noise) and sensitive to variance non-stationarity (which plain
+    split-R-hat cannot see at matched means).  This is the estimator the
+    parity gates and driver convergence CSVs quote.
+    """
+    return max(split_rhat(rank_normalize(x), num_splits),
+               split_rhat(rank_normalize(_fold(x)), num_splits))
+
+
+def ess_bulk(x, num_splits: int = 2) -> float:
+    """Rank-normalized bulk ESS (Stan's `ess_bulk`)."""
+    return ess(rank_normalize(x), num_splits)
+
+
+def ess_tail(x, num_splits: int = 2) -> float:
+    """Tail ESS: min ESS of the 5% / 95% quantile indicator chains
+    (rank-normalized), per Vehtari et al. 2021 §4.3."""
+    x = np.asarray(x, np.float64)
+    lo, hi = np.quantile(x.ravel(), [0.05, 0.95])
+    return min(ess(rank_normalize(x <= lo), num_splits),
+               ess(rank_normalize(x <= hi), num_splits))
 
 
 def _autocov_fft(c: np.ndarray) -> np.ndarray:
@@ -172,7 +228,10 @@ def convergence_summary(trace, burn_frac: float = 0.5,
         e = ess(xb, num_splits)
         m, se = mean_se(xb, num_splits)
         rows.append(dict(
-            variable=name, rhat=split_rhat(xb, num_splits), ess=e,
+            variable=name, rhat=split_rhat(xb, num_splits),
+            rhat_rank=rhat_rank(xb, num_splits), ess=e,
+            ess_bulk=ess_bulk(xb, num_splits),
+            ess_tail=ess_tail(xb, num_splits),
             iact=float(xb.size / e), mean=m, sd=float(xb.std(ddof=1)),
             se_mean=se, num_chains=C, num_iters=N - burn))
     return rows

@@ -437,8 +437,15 @@ def sample_prior(prior: SLDSPrior, key) -> SLDSParams:
         C=C, LRinv_vec=mat_to_tril_vector(LRinv))
 
 
-def _mniw_sample(key, Spp, Scp, Scc, count, mean_M, var_col, scale_Vinv,
-                 df_Vinv, dtype):
+def _mniw_posterior(Spp, Scp, Scc, count, mean_M, var_col, scale_Vinv,
+                    df_Vinv):
+    """Matrix-normal-inverse-Wishart conjugate update.
+
+    Returns (df_post, scale_post, M_mean, Spp_post): the Wishart posterior
+    on Vinv is W(df_post, scale_post) and M | V ~ MN(M_mean, V,
+    inv(Spp_post)) — identical math to the reference's marginal-V-then-M|V
+    factorization (`variables/covariance.py:207-240` +
+    `variables/matrices.py:780-808`)."""
     prec = jnp.diag(1.0 / var_col)
     Spp = prec + Spp
     Scp = mean_M / var_col[None, :] + Scp
@@ -446,15 +453,70 @@ def _mniw_sample(key, Spp, Scp, Scc, count, mean_M, var_col, scale_Vinv,
     S_schur = Scc - Scp @ jnp.linalg.solve(Spp, Scp.T)
     df_post = df_Vinv + count
     scale_post = jnp.linalg.inv(jnp.linalg.inv(scale_Vinv) + S_schur)
+    M_mean = jnp.linalg.solve(Spp, Scp.T).T
+    return df_post, scale_post, M_mean, Spp
+
+
+def _mniw_sample(key, Spp, Scp, Scc, count, mean_M, var_col, scale_Vinv,
+                 df_Vinv, dtype):
+    df_post, scale_post, M_mean, Spp_post = _mniw_posterior(
+        Spp, Scp, Scc, count, mean_M, var_col, scale_Vinv, df_Vinv)
     k_v, k_m = jax.random.split(key)
     Vinv = sample_wishart(k_v, df_post, scale_post)
     LVinv = jnp.linalg.cholesky(Vinv)
-    M_mean = jnp.linalg.solve(Spp, Scp.T).T
-    L_col = jnp.linalg.cholesky(jnp.linalg.inv(Spp))
+    L_col = jnp.linalg.cholesky(jnp.linalg.inv(Spp_post))
     Z = jax.random.normal(k_m, mean_M.shape, dtype)
     M = M_mean + jax.scipy.linalg.solve_triangular(
         LVinv.T, Z, lower=False) @ L_col.T
     return Vinv, M
+
+
+def _gibbs_sufficient_stats(prior: SLDSPrior, observations, x, z):
+    """(pi counts, per-state transition stats, emission stats) for the
+    conjugate theta | x, z, y blocks (re-derivation of
+    `slds/helper.py:1255-1331` calc_gibbs_sufficient_statistic; the
+    reference's Q df uses sum(z==k) over ALL T including t=0 — an
+    off-by-one that counts z_0's state, which has no incoming transition;
+    ours counts sum(z[1:]==k), the actual number of transition
+    observations for state k)."""
+    K = prior.alpha_pi.shape[0]
+    dtype = observations.dtype
+    zo = jax.nn.one_hot(z, K, dtype=dtype)
+    counts = jnp.einsum('ti,tj->ij', zo[:-1], zo[1:])
+    w = zo[1:]                                         # [T-1, K]
+    xp, xc = x[:-1], x[1:]
+    Spp = jnp.einsum('tk,ti,tj->kij', w, xp, xp)
+    Scp = jnp.einsum('tk,ti,tj->kij', w, xc, xp)
+    Scc = jnp.einsum('tk,ti,tj->kij', w, xc, xc)
+    n_k = jnp.sum(w, axis=0)
+    Spp_y = x.T @ x
+    Scp_y = observations.T @ x
+    Scc_y = observations.T @ observations
+    return counts, (Spp, Scp, Scc, n_k), (Spp_y, Scp_y, Scc_y)
+
+
+def gibbs_posterior_params(prior: SLDSPrior, observations, x, z) -> dict:
+    """Deterministic conjugate posterior hyperparameters for
+    theta | x, z, y — the quantities the Gibbs draws are sampled from.
+
+    Returns dict with 'alpha_pi' [K, K] Dirichlet rows, per-state
+    'df_Q'/'scale_Q'/'mean_A'/'Spp_A' (Wishart on Qinv_k + matrix-normal
+    col-precision on A_k), and 'df_R'/'scale_R'/'mean_C'/'Spp_C'.  Used by
+    the SLDS adjudication harness to unit-compare one Gibbs update against
+    the reference's calc_gibbs_sufficient_statistic + per-variable
+    posteriors on a fixed (x, z, y)."""
+    counts, (Spp, Scp, Scc, n_k), (Spp_y, Scp_y, Scc_y) = \
+        _gibbs_sufficient_stats(prior, observations, x, z)
+    df_q, scale_q, mean_a, spp_a = jax.vmap(
+        lambda a, b, c, cnt, mA, vA, sQ: _mniw_posterior(
+            a, b, c, cnt, mA, vA, sQ, prior.df_Qinv))(
+        Spp, Scp, Scc, n_k, prior.mean_A, prior.var_col_A, prior.scale_Qinv)
+    df_r, scale_r, mean_c, spp_c = _mniw_posterior(
+        Spp_y, Scp_y, Scc_y, observations.shape[0], prior.mean_C,
+        prior.var_col_C, prior.scale_Rinv, prior.df_Rinv)
+    return dict(alpha_pi=prior.alpha_pi + counts,
+                df_Q=df_q, scale_Q=scale_q, mean_A=mean_a, Spp_A=spp_a,
+                df_R=df_r, scale_R=scale_r, mean_C=mean_c, Spp_C=spp_c)
 
 
 def gibbs_parameters_sample(key, prior: SLDSPrior, observations, x, z
@@ -465,18 +527,12 @@ def gibbs_parameters_sample(key, prior: SLDSPrior, observations, x, z
     dtype = observations.dtype
     kp, kq, kr = jax.random.split(key, 3)
 
-    zo = jax.nn.one_hot(z, K, dtype=dtype)
-    counts = jnp.einsum('ti,tj->ij', zo[:-1], zo[1:])
+    counts, (Spp, Scp, Scc, n_k), (Spp_y, Scp_y, Scc_y) = \
+        _gibbs_sufficient_stats(prior, observations, x, z)
     g = jax.random.gamma(kp, prior.alpha_pi + counts, dtype=dtype)
     pi = g / jnp.sum(g, axis=-1, keepdims=True)
 
     # per-state (A_k, Q_k) from transitions assigned to state z_t
-    w = zo[1:]                                         # [T-1, K]
-    xp, xc = x[:-1], x[1:]
-    Spp = jnp.einsum('tk,ti,tj->kij', w, xp, xp)
-    Scp = jnp.einsum('tk,ti,tj->kij', w, xc, xp)
-    Scc = jnp.einsum('tk,ti,tj->kij', w, xc, xc)
-    n_k = jnp.sum(w, axis=0)
     keys_q = jax.random.split(kq, K)
     Qinv, A = jax.vmap(
         lambda k, a, b, c, cnt, mA, vA, sQ: _mniw_sample(
@@ -485,10 +541,7 @@ def gibbs_parameters_sample(key, prior: SLDSPrior, observations, x, z
         prior.scale_Qinv)
 
     # shared (C, R) from all emissions
-    Spp_y = x.T @ x
-    Scp_y = observations.T @ x
-    Scc_y = observations.T @ observations
-    Rinv, C = _mniw_sample(kr, Spp_y, Scp_y, Scc_y, x.shape[0],
+    Rinv, C = _mniw_sample(kr, Spp_y, Scp_y, Scc_y, observations.shape[0],
                            prior.mean_C, prior.var_col_C, prior.scale_Rinv,
                            prior.df_Rinv, dtype)
     return SLDSParams(

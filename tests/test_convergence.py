@@ -91,3 +91,70 @@ def test_convergence_summary_pytree(rng):
     names = {r["variable"] for r in rows}
     assert any("A" in n for n in names)
     assert all(np.isfinite(r["rhat"]) and r["ess"] > 0 for r in rows)
+
+
+# ----------------------------------------------------------------------
+# Vehtari et al. 2021 rank-normalized / folded estimators (VERDICT r5 #3)
+# ----------------------------------------------------------------------
+
+def test_rank_normalize_shape_and_scores(rng):
+    x = rng.standard_normal((3, 500))
+    z = cv.rank_normalize(x)
+    assert z.shape == x.shape
+    # normal scores: mean ~0, sd ~1, strictly monotone in x
+    assert abs(z.mean()) < 1e-6
+    assert abs(z.std() - 1.0) < 0.01
+    flat = x.ravel()
+    order = np.argsort(flat)
+    assert np.all(np.diff(z.ravel()[order]) >= 0)
+
+
+def test_rhat_rank_iid_near_one(rng):
+    x = rng.standard_normal((4, 4000))
+    assert abs(cv.rhat_rank(x) - 1.0) < 0.02
+
+
+def test_rhat_rank_heavy_tails_stable(rng):
+    # Cauchy chains, same location: plain split-R-hat is driven by a few
+    # extreme draws (infinite variance -> estimator noise); the
+    # rank-normalized version stays pinned near 1
+    vals = [cv.rhat_rank(rng.standard_cauchy((4, 2000)))
+            for _ in range(20)]
+    assert max(vals) < 1.03
+
+
+def test_folded_rhat_catches_variance_mismatch(rng):
+    # two chains, same mean, 3x different spread: plain split-R-hat is
+    # blind (matched means), the folded rank variant flags it
+    x = np.stack([rng.standard_normal(4000),
+                  3.0 * rng.standard_normal(4000)])
+    assert cv.split_rhat(x) < 1.05
+    assert cv.rhat_rank(x) > 1.1
+
+
+def test_rhat_rank_shifted_chains_fail(rng):
+    x = rng.standard_normal((2, 2000))
+    x[1] += 3.0
+    assert cv.rhat_rank(x) > 1.5
+
+
+def test_ess_bulk_tail_iid(rng):
+    x = rng.standard_normal((4, 4000))
+    assert 0.5 * x.size < cv.ess_bulk(x) <= x.size
+    # tail ESS of iid chains is also O(total)
+    assert cv.ess_tail(x) > 0.25 * x.size
+
+
+def test_ess_bulk_heavy_tail_reasonable(rng):
+    # plain ESS on Cauchy chains is dominated by outliers; bulk ESS
+    # behaves like the iid value
+    x = rng.standard_cauchy((4, 4000))
+    assert cv.ess_bulk(x) > 0.5 * x.size
+
+
+def test_summary_rows_include_rank_columns(rng):
+    rows = cv.convergence_summary({"a": rng.standard_normal((2, 400))})
+    row = rows[0]
+    for k in ("rhat_rank", "ess_bulk", "ess_tail"):
+        assert k in row and np.isfinite(row[k])
+    assert abs(row["rhat_rank"] - 1.0) < 0.1
