@@ -154,7 +154,9 @@ def ours_fit_scan(sampler, reader, n_iters, n_chains=1, **kw):
     ``n_chains > 1`` runs C vmapped chains (public fit_scan surface) and
     returns chain-structured [C, n_post] coordinate arrays — the
     single-chain split-R-hat is noisy right around the 1.1 gate, true
-    multi-chain R-hat is not."""
+    multi-chain R-hat is not.  Chain 0 starts at the leg's init, chains
+    1..C-1 at overdispersed prior draws (`prior_chain_draws`), so the
+    gate sees distinct basins rather than only RNG dispersion."""
     from sgmcmc_tpu.io.checkpoint import unstack_trace
     t0 = time.time()
     if n_chains == 1:
@@ -164,7 +166,8 @@ def ours_fit_scan(sampler, reader, n_iters, n_chains=1, **kw):
         out.update(steps=n_iters, seconds=time.time() - t0)
         return out
     trace = sampler.fit_scan("SGLD", num_iters=n_iters,
-                             num_chains=n_chains, chain_init="replicate",
+                             num_chains=n_chains,
+                             chain_init=sampler.prior_chain_draws(n_chains),
                              **kw)
     host = jax.device_get(trace)
     per_chain = []

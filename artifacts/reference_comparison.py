@@ -35,18 +35,10 @@ def _stacked_init(sampler, fixed_init, n_chains, seed):
     chain's exact starting point), chains 1..C-1 overdispersed prior
     draws so the multi-chain split-R-hat gate sees distinct basins.
 
-    Draws via the sampler's own chain-init plumbing, which samples the
-    prior on the host CPU backend — jitting gamma/Wishart draws on the
-    tunneled TPU costs minutes of compile (CLAUDE.md)."""
-    import jax
-    import jax.numpy as jnp
-
-    p0s = sampler._chain_init_params(n_chains, "prior")
-    sampler._num_chains = None     # only wanted the stacked draws
-    fixed = jax.tree_util.tree_map(
-        lambda x, like: jnp.asarray(x, like.dtype), fixed_init, p0s)
-    return jax.tree_util.tree_map(
-        lambda f, d: d.at[0].set(f), fixed, p0s)
+    Uses the public `Sampler.prior_chain_draws` helper (CPU-backed prior
+    draws — jitting gamma/Wishart on the tunneled TPU costs minutes of
+    compile, CLAUDE.md; no sampler state mutated)."""
+    return sampler.prior_chain_draws(n_chains, first=fixed_init)
 
 
 def _ours_fit(sampler, steps, n_chains, **fit_kw):

@@ -212,18 +212,30 @@ def part_chains(args):
     from concurrent.futures import ProcessPoolExecutor
     import multiprocessing as mp
 
+    import jax.numpy as jnp
+
     from sgmcmc_tpu.inference.samplers import SLDSSampler
     ys, truth, true_p = make_data("slds")
     names = sorted(truth.keys())
 
-    # ours: chain 0 at the truth init, chains 1.. overdispersed prior draws
+    # ours: chain 0 at the truth init, chains 1.. overdispersed prior
+    # draws; ONE sampler reused so the jitted gibbs_step compiles once
+    # (a fresh jax.jit wrapper per chain recompiles — and a concurrent
+    # compile-heavy process can deadlock the XLA CPU compile)
+    from sgmcmc_tpu.inference.samplers import _draw_prior_on_cpu
+    s = SLDSSampler(observations=ys, num_states=2, n=1, m=1, seed=1)
     ours_chains = []
     t0 = time.time()
     for c in range(args.chains):
-        s = SLDSSampler(observations=ys, num_states=2, n=1, m=1,
-                        seed=1 + 17 * c)
         if c == 0:
             s.parameters = true_p
+        else:
+            s.parameters = _draw_prior_on_cpu(
+                s._mod.sample_prior, s._mod.project_parameters, s.prior,
+                s.next_key())
+        T_ = s.observations.shape[0]
+        s.z = jnp.zeros((T_,), jnp.int32)
+        s.x = jnp.zeros((T_, 1), s.observations.dtype)
         rows = []
         for _ in range(args.iters):
             s.sample_gibbs()

@@ -438,12 +438,26 @@ def do_fit_multichain(args, options):
         logger.info("resumed multichain fit %s at iteration %d",
                     options["experiment_id"], it)
 
+    # public multi-chip path: shard each chain's PF over P devices
+    # (`fit_scan(n_particle_devices=P)`, parallel/training.py)
+    P = getattr(args, "num_particle_devices", 1) or 1
+    mesh_kwargs = {}
+    if P > 1:
+        if iter_type != "SGLD":
+            raise ValueError(
+                f"--num_particle_devices needs iter_type SGLD "
+                f"(the distributed training step), not {iter_type!r}")
+        mesh_kwargs = dict(n_particle_devices=P,
+                           island_fused=getattr(args, "island_fused",
+                                                False))
+
     t0 = time.perf_counter()
     while time.perf_counter() - t0 < max_time and it < max_iters:
         n = min(chunk, max_iters - it)
         trace = sampler.fit_scan(iter_type, num_iters=n, epsilon=eps,
                                  steps_per_iteration=steps, num_chains=C,
-                                 chain_init=chain_init, **step_kwargs)
+                                 chain_init=chain_init, **mesh_kwargs,
+                                 **step_kwargs)
         chain_init = "replicate"
         chunks.append(jax.device_get(trace))
         it += n
@@ -576,8 +590,12 @@ def do_fit(args, options):
             lambda *xs: np.stack(xs)[None], *[
                 ckpt.tree_to_numpy(q) for q in parameters_list[1:]])
         rows = convergence_summary(stacked, burn_frac=0.5)
+        # burn + splitting leaves very few samples on short traces —
+        # flag those rows so aggregation doesn't over-trust tiny-N rhat
+        low_n = len(parameters_list) - 1 < 20
         for r in rows:
             r["experiment_id"] = options["experiment_id"]
+            r["low_sample"] = low_n
         ckpt.save_dataframe(os.path.join(
             out_dir, f"{options['experiment_id']}_convergence.csv"),
             pd.DataFrame(rows))
@@ -626,6 +644,52 @@ def _save_fit_state(path, evaluator, parameters_list, times, iteration):
 # eval
 # --------------------------------------------------------------------------
 
+def _eval_params_list(args, trace, half_avg: bool = False,
+                      burn_frac: float | None = None):
+    """(parameters_list, times) for --eval/--trace_eval, honoring
+    ``--eval_chains`` (VERDICT r5 #7).
+
+    ``pooled`` consumes EVERY chain of a multi-chain trace
+    (chain-major concatenation of the stacked ``chain_parameters``;
+    half-averaging and burn-in apply per chain — a flat burn on the
+    pooled list would discard whole chains).  ``0`` keeps the r4
+    behavior: the chain-0 ``parameters_list`` view.  Single-chain traces
+    are unaffected by the flag.  Extends the reference's
+    `evaluator.py:187-377` offline-eval semantics to stacked traces.
+    """
+    params_list = trace["parameters_list"]
+    times = trace.get("times")
+    if times is None:
+        times = list(range(len(params_list)))
+    mode = getattr(args, "eval_chains", "0")
+    if mode == "pooled" and trace.get("chain_parameters") is not None:
+        from ..io.checkpoint import unstack_trace
+        stacked = trace["chain_parameters"]       # leaves [C, n, ...]
+        C = trace.get("num_chains") or \
+            jax.tree_util.tree_leaves(stacked)[0].shape[0]
+        # per-iteration wall times are shared across vmapped chains
+        chain_times = times[1:] if len(times) else []
+        pooled, pooled_times = [], []
+        for c in range(C):
+            lst = unstack_trace(
+                jax.tree_util.tree_map(lambda x: x[c], stacked))
+            if burn_frac:
+                lst = lst[int(len(lst) * burn_frac):]
+            if half_avg:
+                lst = half_average_parameters_list(lst)
+            pooled.extend(lst)
+            pooled_times.extend(chain_times[-len(lst):] if chain_times
+                                else range(len(lst)))
+        return pooled, pooled_times
+    if burn_frac:
+        keep = int(len(params_list) * burn_frac)
+        params_list = params_list[keep:]
+        times = times[keep:]
+    if half_avg:
+        params_list = half_average_parameters_list(params_list)
+    return params_list, times
+
+
 def do_eval(args, options, target: str):
     """Offline evaluation over a saved trace (`do_eval`,
     `svm/driver.py:541-691`).  target in
@@ -634,10 +698,8 @@ def do_eval(args, options, target: str):
     data = ckpt.load_pickle(os.path.join(p["in"], "data.p"))
     trace = ckpt.load_trace(os.path.join(
         p["out"], "fit", f"{options['experiment_id']}_parameters.p"))
-    params_list = trace["parameters_list"]
-    times = trace["times"]
-    if target.startswith("half_avg"):
-        params_list = half_average_parameters_list(params_list)
+    params_list, times = _eval_params_list(
+        args, trace, half_avg=target.startswith("half_avg"))
     obs_key = "observations" if target.endswith("train") else \
         "test_observations"
     sampler = _build_sampler(options, data, params_list[-1],
@@ -681,9 +743,9 @@ def do_eval_ksd(args, options):
     data = ckpt.load_pickle(os.path.join(p["in"], "data.p"))
     trace = ckpt.load_trace(os.path.join(
         p["out"], "fit", f"{options['experiment_id']}_parameters.p"))
-    params_list = trace["parameters_list"]
-    burnin = len(params_list) // 3
-    params_list = params_list[burnin:]
+    # 33% burn-in per chain (`svm/driver.py:1006`); --eval_chains pooled
+    # scores every chain's post-burn samples
+    params_list, _ = _eval_params_list(args, trace, burn_frac=1.0 / 3.0)
     if args.max_ksd_samples and len(params_list) > args.max_ksd_samples:
         idx = np.linspace(0, len(params_list) - 1,
                           args.max_ksd_samples).astype(int)
@@ -874,6 +936,22 @@ def build_parser():
                              "the stacked trace + split-R-hat/ESS "
                              "convergence rows (1 = reference-style "
                              "single-chain loop)")
+    parser.add_argument("--num_particle_devices", type=int, default=1,
+                        help="shard each chain's particle filter over P "
+                             "mesh devices in --fit (the "
+                             "fit_scan(n_particle_devices=P) public "
+                             "multi-chip path; SGLD + PF models only)")
+    parser.add_argument("--island_fused", action="store_true",
+                        help="with --num_particle_devices > 1: per-device "
+                             "fused-kernel island particle filters with "
+                             "psum-averaged scores (keep >= 256 particles "
+                             "per device, see parallel/training.py)")
+    parser.add_argument("--eval_chains", type=str, default="0",
+                        choices=["0", "pooled"],
+                        help="--eval/--trace_eval on a multi-chain trace: "
+                             "'pooled' scores every chain's samples "
+                             "(per-chain burn/half-averaging), '0' the "
+                             "chain-0 view (r4 behavior)")
     parser.add_argument("--num_to_eval", type=int, default=20)
     parser.add_argument("--eval_N", type=int, default=1000)
     parser.add_argument("--eval_predictive", type=int, default=5,

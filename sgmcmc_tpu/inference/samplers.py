@@ -545,31 +545,64 @@ class Sampler:
             params = jax.tree_util.tree_map(
                 lambda x: jnp.broadcast_to(x, (C,) + x.shape), self.parameters)
         elif chain_init == "prior":
-            keys = jax.random.split(self.next_key(), C)
-            m = self.model
-            try:
-                cpu = jax.local_devices(backend="cpu")[0]
-            except RuntimeError:
-                cpu = None
-            draw = jax.vmap(
-                lambda k: m.project_parameters(m.sample_prior(self.prior, k)))
-            if cpu is not None:
-                # prior draws are tiny; compile+run on the host CPU backend
-                # (tunneled-TPU gamma/Wishart compiles cost minutes)
-                with jax.default_device(cpu):
-                    params = jax.jit(draw)(jax.device_put(keys, cpu))
-                params = jax.device_put(params, jax.devices()[0])
-            else:
-                params = jax.jit(draw)(keys)
-            # match the resident parameter dtypes (CPU x64 vs device f32)
-            params = jax.tree_util.tree_map(
-                lambda drawn, cur: drawn.astype(cur.dtype),
-                params, self.parameters)
+            params = self._stacked_prior_draws(C)
         else:
             raise ValueError(f"Unrecognized chain_init '{chain_init}'")
         self._num_chains = C
         self.parameters = params
         return params
+
+    def _stacked_prior_draws(self, C: int):
+        """Stacked [C, ...] independent (projected) prior draws — on the
+        host CPU backend (tunneled-TPU gamma/Wishart compiles cost
+        minutes), dtype-matched to the resident parameters.  Pure apart
+        from consuming PRNG keys: does NOT set self.parameters."""
+        keys = jax.random.split(self.next_key(), C)
+        m = self.model
+        try:
+            cpu = jax.local_devices(backend="cpu")[0]
+        except RuntimeError:
+            cpu = None
+        draw = jax.vmap(
+            lambda k: m.project_parameters(m.sample_prior(self.prior, k)))
+        if cpu is not None:
+            with jax.default_device(cpu):
+                params = jax.jit(draw)(jax.device_put(keys, cpu))
+            params = jax.device_put(params, jax.devices()[0])
+        else:
+            params = jax.jit(draw)(keys)
+        # match the resident parameter dtypes (CPU x64 vs device f32);
+        # the sampler may currently hold stacked [C', ...] chains — read
+        # dtypes only, never shapes
+        cur_dtypes = jax.tree_util.tree_map(lambda x: x.dtype,
+                                            self.parameters)
+        return jax.tree_util.tree_map(
+            lambda drawn, dt: drawn.astype(dt), params, cur_dtypes)
+
+    def prior_chain_draws(self, num_chains: int, first=None):
+        """Public overdispersed chain-init builder: stacked [C, ...]
+        parameters with chain 0 at ``first`` (default: the sampler's
+        current single-chain parameters) and chains 1..C-1 independent
+        prior draws — the multi-chain R-hat protocol
+        (artifacts/reference_comparison.py).  Does not mutate sampler
+        state (beyond consuming PRNG keys); pass the result to
+        ``fit_scan(chain_init=...)``.
+        """
+        C = int(num_chains)
+        if first is None:
+            if self._num_chains is not None:
+                raise ValueError(
+                    "sampler holds stacked chains; pass `first` "
+                    "explicitly (e.g. select_chain() output)")
+            first = self.parameters
+        first_b = jax.tree_util.tree_map(
+            lambda x: jnp.asarray(x)[None], first)
+        if C == 1:
+            return first_b
+        draws = self._stacked_prior_draws(C - 1)
+        return jax.tree_util.tree_map(
+            lambda f, d: jnp.concatenate([f, d.astype(f.dtype)], axis=0),
+            first_b, draws)
 
     def select_chain(self, i: int = 0):
         """Collapse a stacked multi-chain state back to chain ``i``."""
@@ -585,21 +618,59 @@ class Sampler:
         self._num_chains = None
         return self.parameters
 
-    @staticmethod
-    def _record_plan(num_iters: int, steps_per_iteration: int, record):
-        """(effective scan iters, inner steps per iter, output_all)."""
+    # recorded traces beyond this size trigger a warning pointing at
+    # record=k / record="none" (a [C, N, ...] trace at the flagship
+    # 8192-chain config would silently OOM otherwise)
+    TRACE_WARN_BYTES = 2 << 30
+
+    def _record_plan(self, num_iters: int, steps_per_iteration: int, record,
+                     num_chains: int | None = None):
+        """(effective scan iters, inner steps per iter, output_all).
+
+        Any ``record`` interval is accepted: if it does not divide
+        ``num_iters`` the run is truncated to the largest multiple (with a
+        warning) rather than raising.  Warns when the recorded trace
+        would exceed `TRACE_WARN_BYTES` (e.g. ``record="all"`` with many
+        chains), pointing at ``record=k`` / ``"none"``.
+        """
+        import warnings
         if record == "none":
             return num_iters, steps_per_iteration, False
         thin = 1 if record == "all" else int(record)
-        if thin < 1 or num_iters % thin:
+        if thin < 1:
+            raise ValueError(f"record={record!r} must be >= 1")
+        if thin > num_iters:
             raise ValueError(
-                f"record={record!r} must divide num_iters={num_iters}")
-        return num_iters // thin, steps_per_iteration * thin, True
+                f"record={record!r} exceeds num_iters={num_iters}: "
+                f"nothing would be recorded")
+        n_rec = num_iters // thin
+        if n_rec * thin != num_iters:
+            warnings.warn(
+                f"record={record!r} does not divide num_iters={num_iters}; "
+                f"running {n_rec * thin} iterations "
+                f"({num_iters - n_rec * thin} dropped)", stacklevel=3)
+        # estimate the host/device trace footprint from the (per-chain)
+        # parameter pytree
+        leaves = jax.tree_util.tree_leaves(self.parameters)
+        per_iter = sum(x.size * x.dtype.itemsize for x in leaves)
+        if self._num_chains:
+            per_iter //= self._num_chains
+        C = num_chains or 1
+        total = per_iter * n_rec * C
+        if total > self.TRACE_WARN_BYTES:
+            warnings.warn(
+                f"recorded trace would be ~{total / 2**30:.1f} GiB "
+                f"({C} chains x {n_rec} recorded iters); thin with "
+                f"record=k or pass record='none' (pooled moments don't "
+                f"need every autocorrelated step)", stacklevel=3)
+        return n_rec, steps_per_iteration * thin, True
 
     def fit_scan(self, iter_type: str, num_iters: int, epsilon: float = 0.1,
                  steps_per_iteration: int = 1, num_chains: int | None = None,
                  chain_init="replicate", record="all",
-                 return_aux: bool = False, **kwargs):
+                 return_aux: bool = False, mesh=None,
+                 n_particle_devices: int | None = None,
+                 island_fused: bool = False, **kwargs):
         """Whole-loop-compiled fit returning the full parameter trace
         (SGLD / SGRLD / SGD / SGRD / ADAGRAD / SGLD-CV — every gradient
         iter_type of `get_iter_step`, `sgmcmc_sampler.py:896-947`).
@@ -621,10 +692,15 @@ class Sampler:
         trace).  ``return_aux=True`` additionally returns the recorded
         per-iteration loglikelihood aux (the benchmark's sync scalar).
         """
+        if mesh is not None or n_particle_devices is not None:
+            return self._fit_scan_distributed(
+                iter_type, num_iters, epsilon, steps_per_iteration,
+                num_chains, chain_init, record, return_aux, mesh,
+                n_particle_devices, island_fused, **kwargs)
         m = self.model
         T = self.T
         n_rec, steps_eff, output_all = self._record_plan(
-            num_iters, steps_per_iteration, record)
+            num_iters, steps_per_iteration, record, num_chains=num_chains)
         if iter_type == "ADAGRAD":
             grad_fn = self._grad_fn(**kwargs)
 
@@ -731,6 +807,83 @@ class Sampler:
         params, trace, aux = self._cache[cache_key](
             self.next_key(), params0, self.observations)
         self.parameters = params
+        return (trace, aux) if return_aux else trace
+
+    def _fit_scan_distributed(self, iter_type, num_iters, epsilon,
+                              steps_per_iteration, num_chains, chain_init,
+                              record, return_aux, mesh, n_particle_devices,
+                              island_fused, **kwargs):
+        """`fit_scan(mesh=...)`: the multi-chip path (SURVEY.md §2.4).
+
+        Routes the fit through `parallel/training.make_distributed_sgld_step`
+        — chains sharded over the mesh's 'chain' axis, each chain's
+        particle filter sharded over its 'particle' axis (psum-normalized
+        gather smoothers, or per-shard fused Pallas islands with
+        ``island_fused=True``; the >= 256-particles-per-device island-bias
+        gate is enforced by that layer's warning).  Same trace/record/
+        chain_init conventions as the vmap path; requires iter_type='SGLD'
+        and the PF gradient (kind='pf'), the distributed step's contract.
+        """
+        from ..parallel import sharding, training
+        m = self.model
+        if iter_type != "SGLD":
+            raise NotImplementedError(
+                "fit_scan(mesh=...) routes to the distributed SGLD step "
+                "(parallel/training.py); other iter types run chain-"
+                "parallel via fit_scan(num_chains=...)")
+        if (kwargs.get("kind") or "pf") != "pf" or not m.has_pf:
+            raise NotImplementedError(
+                "fit_scan(mesh=...) shards the particle-filter gradient; "
+                f"model '{m.name}' must provide the PF path (kind='pf')")
+        if mesh is None:
+            devs = jax.devices()
+            P = int(n_particle_devices)
+            if P < 1 or len(devs) % P:
+                raise ValueError(
+                    f"n_particle_devices={P} must divide the "
+                    f"{len(devs)}-device platform")
+            mesh = sharding.make_mesh(n_chain_devices=len(devs) // P,
+                                      n_particle_devices=P,
+                                      devices=devs)
+        n_chain_dev = int(mesh.shape["chain"])
+        C = int(num_chains) if num_chains is not None else n_chain_dev
+        if C % n_chain_dev:
+            raise ValueError(
+                f"num_chains={C} must be a multiple of the mesh chain "
+                f"axis ({n_chain_dev})")
+        n_rec, steps_eff, output_all = self._record_plan(
+            num_iters, steps_per_iteration, record, num_chains=C)
+        cfg = self._score_config(**kwargs)
+        kernel_name = kwargs.get("kernel")
+        cache_key = ("dist_fit", float(epsilon), n_rec, steps_eff,
+                     output_all, C, island_fused, cfg, kernel_name,
+                     kwargs.get("is_scaled", True), mesh)
+        if cache_key not in self._cache:
+            fused = m.get_fused(kernel_name) if m.get_fused else None
+            step = training.make_distributed_sgld_step(
+                m.get_kernel(kernel_name), m.grad_statistic,
+                m.grad_statistic_dim, m.unpack_grad,
+                lambda p: m.grad_logprior(self.prior, p), cfg, self.T,
+                mesh, epsilon=float(epsilon),
+                prior_mean_var_fn=m.prior_mean_var,
+                project_fn=m.project_parameters,
+                is_scaled=kwargs.get("is_scaled", True),
+                fused_model=fused, island_fused=island_fused,
+                warn_small_islands=kwargs.get("warn_small_islands", True))
+            self._cache[cache_key] = training.make_distributed_fit_recorded(
+                step, n_rec, steps_eff, output_all)
+        params0 = self._chain_init_params(C, chain_init)
+        keys = jax.random.split(self.next_key(), C)
+        params0 = sharding.shard_chain_states(mesh, params0)
+        keys = sharding.shard_chain_states(mesh, keys)
+        params, trace, aux = self._cache[cache_key](
+            keys, params0, self.observations)
+        self.parameters = params
+        if output_all:
+            # [n_rec, C, ...] -> the fit_scan [C, n_rec, ...] convention
+            trace = jax.tree_util.tree_map(
+                lambda x: jnp.swapaxes(x, 0, 1), trace)
+        aux = jnp.swapaxes(aux, 0, 1) if output_all else aux.T
         return (trace, aux) if return_aux else trace
 
     def fit_scan_chunked(self, iter_type: str, num_iters: int,

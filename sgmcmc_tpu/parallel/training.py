@@ -27,7 +27,7 @@ def make_distributed_sgld_step(
         unpack, grad_logprior_fn, config: PFScoreConfig, T: int,
         mesh: Mesh, epsilon: float, prior_mean_var_fn=None,
         project_fn=None, is_scaled: bool = True, fused_model=None,
-        island_fused: bool = False):
+        island_fused: bool = False, warn_small_islands: bool = True):
     """Build step(keys [n_chains], params_stack, observations[T, m]).
 
     ``keys``/``params_stack`` have their chain axis sharded over the mesh's
@@ -56,7 +56,9 @@ def make_distributed_sgld_step(
     use_fused = n_particle_shards == 1 and fused_ok
     use_island = (island_fused and n_particle_shards > 1 and fused_ok
                   and n_local % 8 == 0)
-    if use_island and n_local < 256:
+    # ``warn_small_islands=False`` silences the bias warning for
+    # deliberately-tiny shapes (dryruns / unit tests on toy configs)
+    if use_island and n_local < 256 and warn_small_islands:
         import warnings
         warnings.warn(
             f"island_fused with island size {n_local} (< 256): the island "
@@ -163,5 +165,41 @@ def make_distributed_fit(step, num_iters: int):
 
         return jax.lax.scan(body, params_stack,
                             jnp.arange(num_iters, dtype=jnp.int32))
+
+    return jax.jit(fit)
+
+
+def make_distributed_fit_recorded(step, num_iters: int,
+                                  steps_per_iter: int = 1,
+                                  output_all: bool = True):
+    """`make_distributed_fit` with the `inference.sgmcmc.fit` recording
+    conventions (the `Sampler.fit_scan(mesh=...)` backend): ``num_iters``
+    recorded iterations of ``steps_per_iter`` inner steps each.
+
+    Returns fit(keys [C, 2], params_stack, observations) ->
+    (final params, trace with leaves [num_iters, C, ...] or None,
+    loglik aux [num_iters, C]).
+    """
+    def fit(keys, params_stack, observations):
+        def one_iter(params, i):
+            def one_step(p, j):
+                step_keys = jax.vmap(
+                    lambda k: jax.random.fold_in(
+                        k, i * steps_per_iter + j))(keys)
+                return step(step_keys, p, observations)
+
+            params, lls = jax.lax.scan(
+                one_step, params,
+                jnp.arange(steps_per_iter, dtype=jnp.int32))
+            out = (params, lls[-1]) if output_all else lls[-1]
+            return params, out
+
+        params, outputs = jax.lax.scan(
+            one_iter, params_stack,
+            jnp.arange(num_iters, dtype=jnp.int32))
+        if output_all:
+            trace, aux = outputs
+            return params, trace, aux
+        return params, None, outputs
 
     return jax.jit(fit)

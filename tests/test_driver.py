@@ -412,3 +412,69 @@ def test_eval_predictive_metric_rows(tmp_path):
     assert pred <= set(df["metric"]), sorted(set(df["metric"]))
     assert np.all(np.isfinite(
         df[df["metric"].isin(pred)]["value"]))
+
+
+def test_eval_chains_pooled(tmp_path):
+    """--eval_chains pooled consumes every chain of a multi-chain trace
+    (VERDICT r5 #7): the pooled OfflineEvaluator list is C x n long and
+    the eval/trace_eval phases produce finite metrics from it."""
+    exp_dir = str(tmp_path / "pool")
+    args = make_args(exp_dir, max_time=4.0, eval_N=32, num_to_eval=2,
+                     num_chains=8, eval_chains="pooled")
+    args.init_methods = ["prior"]
+    grid = cfg.parameter_grid(dict(
+        iter_type=["SGLD"], epsilon=[0.05], subsequence_length=[16],
+        buffer_length=[4], steps_per_iteration=[1], pf=["poyiadjis_N"],
+        N=[16], name=["POOL"], max_time=[4], max_num_iters=[9],
+        checkpoint_num_iters=[9]))
+    options_list = driver.do_setup(args, sampler_grid=grid)
+    o = options_list[0]
+    driver.do_fit(args, o)
+
+    from sgmcmc_tpu.io import checkpoint as ckpt
+    trace = ckpt.load_trace(os.path.join(
+        exp_dir, "out", "fit", f"{o['experiment_id']}_parameters.p"))
+    n = trace["chain_parameters"].A.shape[1]
+
+    # helper semantics: pooled list is C*n long; burn/half-avg per chain
+    pooled, times = driver._eval_params_list(args, trace)
+    assert len(pooled) == 8 * n == len(times)
+    burned, _ = driver._eval_params_list(args, trace, burn_frac=1 / 3)
+    assert len(burned) == 8 * (n - int(n / 3))
+    # chain-0 mode unchanged
+    args0 = make_args(exp_dir, eval_chains="0")
+    solo, _ = driver._eval_params_list(args0, trace)
+    assert len(solo) == n + 1
+
+    driver.do_eval(args, o, "half_avg_train")
+    df = pd.read_csv(os.path.join(
+        exp_dir, "out", "eval",
+        f"{o['experiment_id']}_half_avg_train_metrics.csv"))
+    assert np.all(np.isfinite(df["value"]))
+
+
+def test_fit_multichain_particle_devices(tmp_path):
+    """--num_particle_devices 2 routes the multichain fit through the
+    public fit_scan(mesh) distributed path (VERDICT r5 #4) on the
+    virtual 8-device CPU mesh."""
+    exp_dir = str(tmp_path / "pdev")
+    args = make_args(exp_dir, max_time=4.0, num_chains=8,
+                     num_particle_devices=2)
+    args.init_methods = ["prior"]
+    grid = cfg.parameter_grid(dict(
+        iter_type=["SGLD"], epsilon=[0.05], subsequence_length=[16],
+        buffer_length=[4], steps_per_iteration=[1], pf=["poyiadjis_N"],
+        N=[16], name=["PDEV"], max_time=[4], max_num_iters=[6],
+        checkpoint_num_iters=[6]))
+    options_list = driver.do_setup(args, sampler_grid=grid)
+    o = options_list[0]
+    driver.do_fit(args, o)
+    from sgmcmc_tpu.io import checkpoint as ckpt
+    trace = ckpt.load_trace(os.path.join(
+        exp_dir, "out", "fit", f"{o['experiment_id']}_parameters.p"))
+    A = np.asarray(trace["chain_parameters"].A)
+    assert A.shape[0] == 8
+    assert np.all(np.isfinite(A))
+    conv = pd.read_csv(os.path.join(
+        exp_dir, "out", "fit", f"{o['experiment_id']}_convergence.csv"))
+    assert "rhat_rank" in conv.columns

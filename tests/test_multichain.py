@@ -89,8 +89,11 @@ def test_record_thinning_and_none(svm_obs):
                             **KW)
     assert trace is None
     assert aux.shape == (2, 4)
-    with pytest.raises(ValueError, match="divide"):
-        s.fit_scan("SGLD", num_iters=5, num_chains=2, record=3, **KW)
+    # non-dividing record truncates with a warning (VERDICT r5 #6)
+    with pytest.warns(UserWarning, match="does not divide"):
+        trace = s.fit_scan("SGLD", num_iters=5, num_chains=2, record=3,
+                           **KW)
+    assert trace.A.shape == (2, 1, 1, 1)
 
 
 def test_record_thinning_single_chain(svm_obs):
@@ -142,3 +145,82 @@ def test_multichain_pooled_posterior_statistics(svm_obs):
     rows = convergence_summary(jax.device_get(trace), burn_frac=0.5)
     assert all(np.isfinite(r["rhat"]) for r in rows)
     assert all(r["num_chains"] == 4 and r["num_iters"] == 20 for r in rows)
+
+
+# ----------------------------------------------------------------------
+# record hardening (VERDICT r5 #6)
+# ----------------------------------------------------------------------
+
+def test_record_any_interval_truncates(svm_obs):
+    s = _sampler(svm_obs)
+    with pytest.warns(UserWarning, match="does not divide"):
+        trace = s.fit_scan("SGLD", num_iters=10, record=3, **KW)
+    assert np.asarray(trace.A).shape[0] == 3   # 9 iters run, 3 recorded
+
+
+def test_record_interval_too_large_raises(svm_obs):
+    s = _sampler(svm_obs)
+    with pytest.raises(ValueError, match="exceeds num_iters"):
+        s.fit_scan("SGLD", num_iters=5, record=10, **KW)
+
+
+def test_record_all_size_guard_warns(svm_obs):
+    s = _sampler(svm_obs)
+    with pytest.warns(UserWarning, match="GiB"):
+        s._record_plan(10 ** 6, 1, "all", num_chains=8192)
+
+
+# ----------------------------------------------------------------------
+# public multi-chip surface: fit_scan(mesh=... / n_particle_devices=...)
+# (VERDICT r5 #4) — runs on the virtual 8-device CPU mesh
+# ----------------------------------------------------------------------
+
+def test_fit_scan_mesh_public_surface(svm_obs):
+    s = _sampler(svm_obs)
+    trace, aux = s.fit_scan("SGLD", num_iters=4, epsilon=0.01,
+                            num_chains=8, n_particle_devices=2, record=2,
+                            return_aux=True, **KW)
+    A = np.asarray(trace.A)
+    assert A.shape[:2] == (8, 2)               # [C, n_rec, ...]
+    aux = np.asarray(aux)
+    assert aux.shape == (8, 2) and np.all(np.isfinite(aux))
+    assert s._num_chains == 8                  # stacked chains retained
+
+
+def test_fit_scan_mesh_explicit_mesh_matches_particle_devices(svm_obs):
+    from sgmcmc_tpu.parallel import sharding
+    s = _sampler(svm_obs)
+    mesh = sharding.make_mesh(n_chain_devices=2, n_particle_devices=4)
+    trace = s.fit_scan("SGLD", num_iters=2, epsilon=0.01, num_chains=2,
+                       mesh=mesh, **KW)
+    assert np.asarray(trace.A).shape[:2] == (2, 2)
+    assert np.all(np.isfinite(np.asarray(trace.A)))
+
+
+def test_fit_scan_mesh_island_fused(svm_obs):
+    s = SVMSampler(observations=jnp.asarray(svm_obs, jnp.float32), seed=3)
+    s.parameters = svm_mod.from_scalars(A=0.5, Q=1.0, R=2.0,
+                                        dtype=jnp.float32)
+    trace = s.fit_scan("SGLD", num_iters=2, epsilon=0.01, num_chains=4,
+                       n_particle_devices=2, island_fused=True,
+                       N=32, subsequence_length=16, buffer_length=2,
+                       resampler="systematic", resample_mode="fused",
+                       warn_small_islands=False, record="all")
+    A = np.asarray(trace.A)
+    assert A.shape[:2] == (4, 2)
+    assert np.all(np.isfinite(A))
+
+
+def test_fit_scan_mesh_requires_sgld(svm_obs):
+    s = _sampler(svm_obs)
+    with pytest.raises(NotImplementedError, match="SGLD"):
+        s.fit_scan("SGD", num_iters=2, n_particle_devices=2, **KW)
+
+
+def test_fit_scan_mesh_record_none(svm_obs):
+    s = _sampler(svm_obs)
+    trace, aux = s.fit_scan("SGLD", num_iters=3, epsilon=0.01,
+                            num_chains=4, n_particle_devices=2,
+                            record="none", return_aux=True, **KW)
+    assert trace is None
+    assert np.asarray(aux).shape == (4, 3)
