@@ -87,6 +87,7 @@ class Sampler:
             bw_chunk=kwargs.get("bw_chunk", None),
             qp_merge=kwargs.get("qp_merge", 1),
             pipeline=kwargs.get("pipeline", False),
+            interleave=kwargs.get("interleave", False),
         )
 
     def _default_kind(self) -> str:

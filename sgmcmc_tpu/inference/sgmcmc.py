@@ -92,6 +92,11 @@ class PFScoreConfig:
     # the dot can overlap the tail instead of serializing (VERDICT r2 #3
     # structured attempt; measured result in BENCH_NOTES).
     pipeline: bool = False
+    # Two-chain-block interleave: split each fused chain block into
+    # halves A/B and alternate their qp-group dot/tail work, so half B's
+    # VPU phases execute under half A's in-flight MXU dots (r5 probe;
+    # bitwise-identical results, measured delta in BENCH_NOTES).
+    interleave: bool = False
 
 
 def _fused_eligible(config: PFScoreConfig, fused_model) -> bool:
@@ -158,7 +163,8 @@ def make_pf_score_fn(kernel: ParticleKernel, stat_fn: StatisticFn,
                 config.n_particles, prior_mean, prior_var,
                 lambduh=fused_lambduh, interpret=fused_interpret,
                 ess_threshold=config.ess_threshold, rng=config.rng,
-                qp_merge=config.qp_merge, pipeline=config.pipeline)
+                qp_merge=config.qp_merge, pipeline=config.pipeline,
+                interleave=config.interleave)
         out = run_buffered_pf(
             kernel, stat_fn, params, window,
             key=key_pf, n_particles=config.n_particles,
@@ -271,7 +277,8 @@ def make_seq_pf_score_fn(kernel: ParticleKernel, stat_fn: StatisticFn,
                 interpret=fused_interpret,
                 ess_threshold=config.ess_threshold, rng=config.rng,
                 qp_merge=config.qp_merge, step_valid=step_valid,
-                pipeline=config.pipeline)
+                pipeline=config.pipeline,
+                interleave=config.interleave)
         out = run_buffered_pf(
             kernel, stat_fn, params, window, key=key_pf,
             n_particles=config.n_particles, statistic_dim=statistic_dim,

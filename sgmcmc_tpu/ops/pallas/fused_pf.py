@@ -121,7 +121,7 @@ def _box_muller(shape):
 def _fused_window_kernel(model: FusedModel, W: int, s: int, B: int,
                          lambduh: float, ess_threshold: float | None,
                          kernel_rng: bool, qp_merge: int, hi_only: bool,
-                         valid_gate: bool, pipeline: bool,
+                         valid_gate: bool, pipeline: bool, interleave: bool,
                          pvec_ref,      # [CB, P, B] f32 VMEM (lane-replicated)
                          x0_ref,        # [CB, D*s, B] f32 VMEM
                          normals_ref,   # [CB, W, Z*s, B] f32 VMEM, or (with
@@ -231,31 +231,34 @@ def _fused_window_kernel(model: FusedModel, W: int, s: int, B: int,
 
         Ks = K * s
 
-        def make_B1(qp0):
+        full = slice(None)
+
+        def make_B1(qp0, sl=full):
             # one dot for qp_merge sub-rows: stack their B1 blocks along
             # the sublane axis so the (weight-stationary) W1 matrix is
             # loaded into the MXU once per group instead of once per qp
             if qp_merge == 1:
-                posc = (s * sub_iota_col + (qp0 + xi_t)) / N  # [CB,B',1]
+                posc = (s * sub_iota_col[sl]
+                        + (qp0 + xi_t[sl])) / N               # [.,B',1]
             else:
-                qp_off = fiota((CB, qp_merge * B, 1), 1) // B  # group row
-                sub_in = fiota((CB, qp_merge * B, 1), 1) % B
-                posc = (s * sub_in + (qp0 + qp_off + xi_t)) / N
-            return ((posc >= bnd_prev).astype(jnp.bfloat16)
-                    - (posc >= bnd_row).astype(jnp.bfloat16))  # [CB,g*B',B]
+                qp_off = fiota((CB, qp_merge * B, 1), 1)[sl] // B
+                sub_in = fiota((CB, qp_merge * B, 1), 1)[sl] % B
+                posc = (s * sub_in + (qp0 + qp_off + xi_t[sl])) / N
+            return ((posc >= bnd_prev[sl]).astype(jnp.bfloat16)
+                    - (posc >= bnd_row[sl]).astype(jnp.bfloat16))
 
-        def do_dot(B1):
+        def do_dot(B1, sl=full):
             return jax.lax.dot_general(
-                W1, B1, (((2,), (2,)), ((0,), (0,))),
-                preferred_element_type=fdt)                   # [CB,R,g*B']
+                W1[sl], B1, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=fdt)                   # [.,R,g*B']
 
-        def tails(G, qp0, outs):
+        def tails(G, qp0, outs, sl=full, n=CB):
             for gi in range(qp_merge):
                 qp = qp0 + gi
                 Gq = G if qp_merge == 1 else \
                     G[:, :, gi * B:(gi + 1) * B]
                 if hi_only:
-                    vals = Gq[:, :Ks]                         # [CB,K*s,B']
+                    vals = Gq[:, :Ks]                         # [.,K*s,B']
                     c0 = Ks
                 else:
                     vals = Gq[:, :Ks] + Gq[:, Ks:2 * Ks]
@@ -263,16 +266,40 @@ def _fused_window_kernel(model: FusedModel, W: int, s: int, B: int,
                 c = (Gq[:, c0:c0 + s]
                      + Gq[:, c0 + s:c0 + 2 * s]) \
                     + Gq[:, c0 + 2 * s:c0 + 3 * s]            # exact f32
-                posr = (s * lane_iota + (qp + xi_t)) / N      # [CB,1,B']
+                posr = (s * lane_iota[sl] + (qp + xi_t[sl])) / N
                 M2 = (posr >= c).astype(fdt)
                 ones2 = jnp.ones_like(M2[:, :1])
                 P2 = jnp.concatenate([ones2, M2[:, :-1]], axis=1) - M2
-                Z = vals * jnp.concatenate([P2] * K, axis=1)  # [CB,K*s,B']
-                outs.append(Z.reshape(CB, K, s, B).sum(axis=2))
+                Z = vals * jnp.concatenate([P2] * K, axis=1)  # [.,K*s,B']
+                outs.append(Z.reshape(n, K, s, B).sum(axis=2))
 
         groups = list(range(0, s, qp_merge))
         outs = []
-        if pipeline:
+        if interleave and CB >= 2:
+            # two-chain-block interleave (r5 perf probe): split the block
+            # into halves A/B along the chain axis and alternate their
+            # qp-group work software-pipelined — half B's B1 build / VPU
+            # tail is issued under half A's in-flight MXU dot and vice
+            # versa.  Bitwise-identical chain results (batch-split dots).
+            h = CB // 2
+            sls = (slice(0, h), slice(h, CB))
+            stream = [(si, qp0) for qp0 in groups
+                      for si in range(2)]
+            outs_h = ([], [])
+
+            def issue(i):
+                si, qp0 = stream[i]
+                return do_dot(make_B1(qp0, sls[si]), sls[si])
+
+            G_cur = issue(0)
+            for i, (si, qp0) in enumerate(stream):
+                G_next = issue(i + 1) if i + 1 < len(stream) else None
+                tails(G_cur, qp0, outs_h[si], sls[si], h)
+                G_cur = G_next
+            Vr = jnp.concatenate(
+                [jnp.stack(o, axis=2).reshape(h, K * s, B)
+                 for o in outs_h], axis=0)                    # rows (k, q)
+        elif pipeline:
             # software pipeline across qp groups: issue group i+1's B1
             # build + gather dot BEFORE group i's VPU tail, so the
             # (asynchronous) MXU dot can overlap the tail's vector work
@@ -283,10 +310,11 @@ def _fused_window_kernel(model: FusedModel, W: int, s: int, B: int,
                           if idx + 1 < len(groups) else None)
                 tails(G_cur, qp0, outs)
                 G_cur = G_next
+            Vr = jnp.stack(outs, axis=2).reshape(CB, K * s, B)
         else:
             for qp0 in groups:
                 tails(do_dot(make_B1(qp0)), qp0, outs)
-        Vr = jnp.stack(outs, axis=2).reshape(CB, K * s, B)    # rows (k, q)
+            Vr = jnp.stack(outs, axis=2).reshape(CB, K * s, B)  # rows (k, q)
         if ess_threshold is not None:
             Vr = jnp.where(do_res, Vr, V)
 
@@ -349,7 +377,8 @@ def _fused_window_kernel(model: FusedModel, W: int, s: int, B: int,
 
 @functools.partial(jax.jit, static_argnames=(
     "model", "lambduh", "chain_block", "interpret", "ess_threshold",
-    "kernel_rng", "qp_merge", "hi_only", "valid_gate", "pipeline"))
+    "kernel_rng", "qp_merge", "hi_only", "valid_gate", "pipeline",
+    "interleave"))
 def fused_window_batched(model: FusedModel,
                          pvec: jax.Array,      # [C, P]
                          x0: jax.Array,        # [C, D*s, B]
@@ -367,7 +396,8 @@ def fused_window_batched(model: FusedModel,
                          hi_only: bool = False,
                          vs: jax.Array | None = None,   # [C, W] validity
                          valid_gate: bool = False,
-                         pipeline: bool = False):
+                         pipeline: bool = False,
+                         interleave: bool = False):
     """Run the fused window for a batch of chains.
 
     Returns (mean_statistic [C, H], loglikelihood [C]).
@@ -403,7 +433,7 @@ def fused_window_batched(model: FusedModel,
     out = pl.pallas_call(
         functools.partial(_fused_window_kernel, model, W, s, B, lambduh,
                           ess_threshold, kernel_rng, qp_merge, hi_only,
-                          valid_gate, pipeline),
+                          valid_gate, pipeline, interleave),
         grid=(C // CB,),
         in_specs=[
             pl.BlockSpec((CB, pvec.shape[-1], B), lambda i: (i, 0, 0),
@@ -457,7 +487,7 @@ def _fused_callable(model: FusedModel, lambduh: float, interpret: bool,
                     ess_threshold: float | None = None,
                     kernel_rng: bool = False, qp_merge: int = 1,
                     hi_only: bool = False, valid_gate: bool = False,
-                    pipeline: bool = False):
+                    pipeline: bool = False, interleave: bool = False):
     """Single-chain fused call whose vmap collapses into real chain
     batches (nested vmaps flatten)."""
 
@@ -474,7 +504,7 @@ def _fused_callable(model: FusedModel, lambduh: float, interpret: bool,
                                     kernel_rng=kernel_rng,
                                     qp_merge=qp_merge, hi_only=hi_only,
                                     vs=vs, valid_gate=valid_gate,
-                                    pipeline=pipeline)
+                                    pipeline=pipeline, interleave=interleave)
 
     @flat.def_vmap
     def flat_vmap(axis_size, in_batched, *args):
@@ -491,7 +521,8 @@ def _fused_callable(model: FusedModel, lambduh: float, interpret: bool,
             weights[None], xi[None], lambduh=lambduh, chain_block=1,
             interpret=interpret, ess_threshold=ess_threshold,
             kernel_rng=kernel_rng, qp_merge=qp_merge, hi_only=hi_only,
-            vs=vs[None], valid_gate=valid_gate, pipeline=pipeline)
+            vs=vs[None], valid_gate=valid_gate, pipeline=pipeline,
+            interleave=interleave)
         return ms[0], ll[0]
 
     @single.def_vmap
@@ -508,7 +539,7 @@ def fused_pf_score(model: FusedModel, key, params, window, step_weights,
                    ess_threshold: float | None = None,
                    rng: str = "host", qp_merge: int = 1,
                    gather: str = "exact", step_valid=None,
-                   pipeline: bool = False):
+                   pipeline: bool = False, interleave: bool = False):
     """Single-chain fused buffered-PF score: (mean_stat [H], loglik).
 
     Draws x0, per-step proposal normals, and systematic offsets from
@@ -565,6 +596,6 @@ def fused_pf_score(model: FusedModel, key, params, window, step_weights,
                          None if ess_threshold is None
                          else float(ess_threshold), kernel_rng,
                          int(qp_merge), gather == "bf16", valid_gate,
-                         bool(pipeline))
+                         bool(pipeline), bool(interleave))
     return fn(pvec, x0, normals, ys, step_weights.astype(jnp.float32), xi,
               vs)

@@ -107,7 +107,8 @@ def make_distributed_sgld_step(
                 fused_kw = dict(
                     lambduh=lam, interpret=fused_interpret,
                     ess_threshold=config.ess_threshold, rng=config.rng,
-                    qp_merge=config.qp_merge, pipeline=config.pipeline)
+                    qp_merge=config.qp_merge, pipeline=config.pipeline,
+                    interleave=config.interleave)
                 if use_fused:
                     return fused_pf_score(
                         fused_model, kp, params, window, step_w,

@@ -216,3 +216,32 @@ def test_sampler_api_reaches_fused_kernel_options():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     for leaf in jax.tree_util.tree_leaves(merged):
         assert np.all(np.isfinite(np.asarray(leaf)))
+
+
+def test_fused_interleave_bitwise_identical():
+    """Two-chain-block interleave (r5 perf probe, PFScoreConfig
+    plumbing): a pure schedule reordering — bitwise-identical stat/ll
+    on a vmapped chain batch (interpret mode exercises CB >= 2)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from sgmcmc_tpu.models import svm
+    from sgmcmc_tpu.ops.pallas.fused_pf import fused_pf_score
+
+    true = svm.from_scalars(A=0.9, Q=0.5, R=1.0)
+    ys, _ = svm.generate_data(jax.random.PRNGKey(0), true, 32)
+    window = jnp.asarray(ys[:16], jnp.float32).reshape(16)
+    sw = jnp.ones((16,), jnp.float32)
+    pm, pv = 0.0, float(svm.stationary_variance(true))
+    keys = jax.random.split(jax.random.PRNGKey(2), 4)
+
+    def run(il):
+        f = jax.vmap(lambda k: fused_pf_score(
+            svm.FUSED, k, true, window, sw, 32, pm, pv,
+            interpret=True, interleave=il))
+        return f(keys)
+
+    s0, l0 = run(False)
+    s1, l1 = run(True)
+    np.testing.assert_array_equal(np.asarray(s0), np.asarray(s1))
+    np.testing.assert_array_equal(np.asarray(l0), np.asarray(l1))
