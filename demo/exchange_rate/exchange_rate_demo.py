@@ -50,7 +50,8 @@ def load_segments(path: str, min_len: int = 7):
 
 
 def fit_model(model_name, observations, method, num_iters, N, seed=12345,
-              seq: bool = False, chunk_iters: int = 250):
+              seq: bool = False, chunk_iters: int = 250,
+              n_particle_devices: int = 1):
     """Whole-loop-compiled fit in chunked program executions
     (`fit_scan_chunked`): per-step Python calls pay a ~100ms RPC
     round-trip on tunneled TPU backends, while a single multi-minute
@@ -84,6 +85,27 @@ def fit_model(model_name, observations, method, num_iters, N, seed=12345,
                       resample_mode="auto")
         if seq:
             kwargs["num_sequences"] = -1
+    if n_particle_devices > 1:
+        # public multi-chip path: shard this one chain's particle filter
+        # over a 1 x P (chain x particle) mesh
+        # (`fit_scan(mesh=..., num_chains=1)`; single-segment samplers
+        # only — the Seq samplers' padded multi-sequence grad is not the
+        # distributed step's contract)
+        if seq:
+            raise ValueError("--n_particle_devices needs --mode single")
+        import jax
+        from sgmcmc_tpu.io.checkpoint import unstack_trace
+        from sgmcmc_tpu.parallel import sharding
+        P = n_particle_devices
+        mesh = sharding.make_mesh(n_chain_devices=1,
+                                  n_particle_devices=P,
+                                  devices=jax.devices()[:P])
+        stacked = sampler.fit_scan_chunked(
+            "SGLD", num_iters=num_iters, chunk_iters=chunk_iters,
+            num_chains=1, mesh=mesh, **kwargs)
+        params_list = unstack_trace(
+            jax.tree_util.tree_map(lambda x: x[0], stacked))
+        return sampler, params_list, list(range(len(params_list)))
     params_list = sampler.fit_scan_chunked(
         "SGLD", num_iters=num_iters, chunk_iters=chunk_iters, **kwargs)
     times = list(range(len(params_list)))
@@ -100,6 +122,10 @@ def main():
     ap.add_argument("--sgld_iters", type=int, default=20000)
     ap.add_argument("--ld_iters", type=int, default=2000)
     ap.add_argument("--N", type=int, default=1000)
+    ap.add_argument("--n_particle_devices", type=int, default=1,
+                    help="shard the particle filter over P mesh devices "
+                         "(fit_scan(mesh=...) public multi-chip path; "
+                         "--mode single only)")
     ap.add_argument("--segment", type=int, default=1)
     ap.add_argument("--out", default="./exchange_out")
     args = ap.parse_args()
@@ -131,7 +157,8 @@ def main():
                                                else 50)
         sampler, params_list, times = fit_model(
             args.model, obs, method, iters, args.N, seq=seq,
-            chunk_iters=chunk)
+            chunk_iters=chunk,
+            n_particle_devices=args.n_particle_devices)
         print(f"{method}: {len(params_list)} samples in "
               f"{time.time() - t0:.1f}s; final loglik "
               f"{sampler.noisy_loglikelihood(N=args.N, pf='filter'):.2f}")
