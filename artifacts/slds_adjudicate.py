@@ -263,14 +263,16 @@ def part_latents(args):
     draw_z = jax.jit(jax.vmap(
         lambda k: slds_mod.z_latent_var_sample(true_p, k, ys_j,
                                                jnp.asarray(x_np))))
-    ours_z = z_stats(draw_z(jax.random.split(jax.random.fold_in(key, 1),
-                                             M_ours)))
+    ours_zs = np.asarray(draw_z(jax.random.split(
+        jax.random.fold_in(key, 1), M_ours))).reshape(-1, T)
+    ours_z = z_stats(ours_zs)
     t0 = time.time()
-    ref_z = z_stats(np.stack([
+    ref_zs = np.stack([
         r.message_helper._z_latent_var_sample(
             ys_np, x_np, r.parameters, forward_message=r.forward_message,
             backward_message=r.backward_message)
-        for _ in range(M_ref)]))
+        for _ in range(M_ref)]).reshape(-1, T)
+    ref_z = z_stats(ref_zs)
     print(f"ref z draws: {M_ref} in {time.time() - t0:.0f}s", flush=True)
 
     # ---- exact forward-backward oracle for the z | x conditional
@@ -303,15 +305,8 @@ def part_latents(args):
         pair01 += pair[0, 1]
     exact = dict(N1=exact_N1, T01=float(pair01))
     exact["z0_is_1"] = float(marg[0, 1])
-    ours_z["z0_is_1"] = (np.asarray(
-        draw_z(jax.random.split(jax.random.fold_in(key, 1), M_ours))
-    ).reshape(-1, T)[:, 0] == 1).astype(np.float64)
-    np.random.seed(6)
-    ref_z["z0_is_1"] = np.array([
-        float(r.message_helper._z_latent_var_sample(
-            ys_np, x_np, r.parameters, forward_message=r.forward_message,
-            backward_message=r.backward_message)[0] == 1)
-        for _ in range(M_ref)])
+    ours_z["z0_is_1"] = (ours_zs[:, 0] == 1).astype(np.float64)
+    ref_z["z0_is_1"] = (ref_zs[:, 0] == 1).astype(np.float64)
 
     lines = [f"## Part 1b — FFBS latent-sampler distributions at fixed "
              f"theta (T={T}; {M_ours} ours / {M_ref} reference draws)", "",
@@ -353,8 +348,6 @@ def part_latents(args):
               "z_t | z_{t-1} for t >= 1 then inherit the biased z_0.  "
               "Ours samples the exact smoothed conditional.", ""]
     print("\n".join(lines))
-    with open(OUT, "a") as f:
-        f.write("\n".join(lines) + "\n")
     return lines
 
 

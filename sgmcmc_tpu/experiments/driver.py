@@ -476,12 +476,15 @@ def do_fit_multichain(args, options):
     ckpt.save_dataframe(os.path.join(
         out_dir, f"{options['experiment_id']}_convergence.csv"),
         pd.DataFrame(rows))
-    worst = max(r["rhat"] for r in rows)
-    logger.info("multichain fit %s: %d iters x %d chains, max rhat %.3f",
-                options["experiment_id"], it, C, worst)
+    # gate on the robust estimator (plain split-R-hat is noisy right at
+    # the 1.1 threshold — the reason the parity gates use rhat_rank)
+    worst = max(r["rhat_rank"] for r in rows)
+    logger.info("multichain fit %s: %d iters x %d chains, max rhat_rank "
+                "%.3f", options["experiment_id"], it, C, worst)
     if worst > 1.1:
-        logger.warning("max split-R-hat %.3f > 1.1: chains are not mixed "
-                       "at this budget (see *_convergence.csv)", worst)
+        logger.warning("max rank-normalized split-R-hat %.3f > 1.1: "
+                       "chains are not mixed at this budget (see "
+                       "*_convergence.csv)", worst)
 
     # chain-0 list view keeps --eval/--trace_eval/--process_out working
     chain0 = [jax.tree_util.tree_map(lambda x: x[0, i], trace)
@@ -599,12 +602,12 @@ def do_fit(args, options):
         ckpt.save_dataframe(os.path.join(
             out_dir, f"{options['experiment_id']}_convergence.csv"),
             pd.DataFrame(rows))
-        worst = max(r["rhat"] for r in rows)
+        worst = max(r["rhat_rank"] for r in rows)
         if worst > 1.1:
             logger.warning(
-                "fit %s: max split-R-hat %.3f > 1.1 — the chain is not "
-                "stationary at this budget (see *_convergence.csv)",
-                options["experiment_id"], worst)
+                "fit %s: max rank-normalized split-R-hat %.3f > 1.1 — "
+                "the chain is not stationary at this budget (see "
+                "*_convergence.csv)", options["experiment_id"], worst)
     logger.info("fit %s: %d iterations", options["experiment_id"], it)
 
 

@@ -907,10 +907,32 @@ class Sampler:
         `fit_scan`, and each chunk is one batched host transfer).
         """
         from ..io.checkpoint import unstack_trace
+
+        # size chunks to multiples of the record interval so every chunk
+        # divides cleanly (no per-chunk truncation warnings, no raise on
+        # an undersized remainder chunk); a final remainder smaller than
+        # the interval is dropped with one warning
+        thin = 1 if record in ("all", "none") else int(record)
+        if thin < 1:
+            raise ValueError(f"record={record!r} must be >= 1")
+        if thin > min(chunk_iters, num_iters):
+            raise ValueError(
+                f"record={record!r} exceeds chunk_iters={chunk_iters} / "
+                f"num_iters={num_iters}: nothing would be recorded")
+
+        def next_chunk(done):
+            n = (min(chunk_iters, num_iters - done) // thin) * thin
+            if n == 0 and num_iters - done > 0:
+                import warnings
+                warnings.warn(
+                    f"fit_scan_chunked: dropping the final "
+                    f"{num_iters - done} iterations (< record={record!r})",
+                    stacklevel=3)
+            return n
+
         if num_chains is not None:
             chunks, done = [], 0
-            while done < num_iters:
-                n = min(chunk_iters, num_iters - done)
+            while (n := next_chunk(done)) > 0:
                 trace = self.fit_scan(
                     iter_type, num_iters=n, epsilon=epsilon,
                     num_chains=num_chains, chain_init=chain_init,
@@ -925,8 +947,7 @@ class Sampler:
                              "use fit_scan(record='none') directly")
         out = []
         done = 0
-        while done < num_iters:
-            n = min(chunk_iters, num_iters - done)
+        while (n := next_chunk(done)) > 0:
             trace = self.fit_scan(iter_type, num_iters=n, epsilon=epsilon,
                                   record=record, **kwargs)
             out.extend(unstack_trace(jax.device_get(trace)))

@@ -227,10 +227,15 @@ def convergence_summary(trace, burn_frac: float = 0.5,
         xb = x[:, burn:]
         e = ess(xb, num_splits)
         m, se = mean_se(xb, num_splits)
+        # rank-normalize once and reuse (rank_normalize is an O(S log S)
+        # sort per call; rhat_rank + ess_bulk would otherwise redo it)
+        zb = rank_normalize(xb)
+        zf = rank_normalize(_fold(xb))
         rows.append(dict(
             variable=name, rhat=split_rhat(xb, num_splits),
-            rhat_rank=rhat_rank(xb, num_splits), ess=e,
-            ess_bulk=ess_bulk(xb, num_splits),
+            rhat_rank=max(split_rhat(zb, num_splits),
+                          split_rhat(zf, num_splits)),
+            ess=e, ess_bulk=ess(zb, num_splits),
             ess_tail=ess_tail(xb, num_splits),
             iact=float(xb.size / e), mean=m, sd=float(xb.std(ddof=1)),
             se_mean=se, num_chains=C, num_iters=N - burn))

@@ -275,7 +275,7 @@ def _fused_window_kernel(model: FusedModel, W: int, s: int, B: int,
 
         groups = list(range(0, s, qp_merge))
         outs = []
-        if interleave and CB >= 2:
+        if interleave and CB >= 2 and CB % 2 == 0:
             # two-chain-block interleave (r5 perf probe): split the block
             # into halves A/B along the chain axis and alternate their
             # qp-group work software-pipelined — half B's B1 build / VPU

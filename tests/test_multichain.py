@@ -224,3 +224,23 @@ def test_fit_scan_mesh_record_none(svm_obs):
                             record="none", return_aux=True, **KW)
     assert trace is None
     assert np.asarray(aux).shape == (4, 3)
+
+
+def test_fit_scan_chunked_nondividing_record(svm_obs):
+    """Chunked fits size every chunk to a multiple of the record
+    interval (code-review r5): no mid-run raise on an undersized
+    remainder chunk, total recorded = floor coverage, one warning only
+    for a dropped sub-interval tail."""
+    s = _sampler(svm_obs)
+    trace = s.fit_scan_chunked("SGLD", num_iters=10, chunk_iters=4,
+                               record=2, num_chains=2, **KW)
+    # chunks 4+4+2, every one divides record=2 -> 5 recorded iters
+    assert np.asarray(trace.A).shape[:2] == (2, 5)
+    s2 = _sampler(svm_obs)
+    with pytest.warns(UserWarning, match="dropping the final"):
+        trace2 = s2.fit_scan_chunked("SGLD", num_iters=7, chunk_iters=3,
+                                     record=3, num_chains=2, **KW)
+    assert np.asarray(trace2.A).shape[:2] == (2, 2)   # 3+3, 1 dropped
+    with pytest.raises(ValueError, match="exceeds chunk_iters"):
+        s2.fit_scan_chunked("SGLD", num_iters=10, chunk_iters=2,
+                            record=5, num_chains=2, **KW)
